@@ -1,0 +1,133 @@
+"""Quadrature rules for the P3 size-distribution integrals.
+
+TPU-native port of the reference ``src/Quadrature.jl``:
+
+* :class:`ChebyshevGauss` — closed-form nodes/weights (reference
+  ``src/Quadrature.jl:166-173``).
+* :class:`GaussLegendre` — nodes/weights computed **host-side once** in
+  float64 (``numpy.polynomial.legendre.leggauss``) and stored on the rule
+  as static tuples, mirroring the reference's FastGaussQuadrature
+  construction + isbits SVector storage (``src/Quadrature.jl:227-255``).
+
+The rule objects are hashable frozen dataclasses used as *static* trace-time
+data: inside a jitted kernel the node/weight tables become XLA constants,
+and :func:`integrate` evaluates the integrand over a new leading node axis
+then contracts with a single fused dot — the natural TPU shape for the
+"quadrature = dot over node axis" pattern identified in SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ChebyshevGauss",
+    "GaussLegendre",
+    "build_quadrature",
+    "integrate",
+    "integrate_segments",
+    "default_quadrature",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuadratureRule:
+    n: int
+
+
+@dataclasses.dataclass(frozen=True)
+class ChebyshevGauss(QuadratureRule):
+    """Chebyshev-Gauss (first kind): ``y_i = cos(pi (2i-1)/(2n))``,
+    ``w_i = pi/n``, ``1/w(y) = sqrt(1 - y^2)``."""
+
+    def nodes_weights(self) -> Tuple[np.ndarray, np.ndarray]:
+        i = np.arange(1, self.n + 1, dtype=np.float64)
+        y = np.cos(np.pi * (2 * i - 1) / (2 * self.n))
+        w = (np.pi / self.n) * np.sqrt(np.maximum(1.0 - y * y, 0.0))
+        return y, w
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussLegendre(QuadratureRule):
+    """Gauss-Legendre; nodes/weights built host-side in float64."""
+
+    def nodes_weights(self) -> Tuple[np.ndarray, np.ndarray]:
+        y, w = np.polynomial.legendre.leggauss(self.n)
+        return y.astype(np.float64), w.astype(np.float64)
+
+
+def build_quadrature(order: int) -> QuadratureRule:
+    """Select the quadrature rule from the single ``quadrature_order`` knob.
+
+    Gauss-Legendre for the preferred orders {16, 32, 40, 64} (incl. the
+    ClimaAtmos production order 40), Chebyshev-Gauss otherwise
+    (reference ``src/Quadrature.jl:272-278``).
+    """
+    if order in (16, 32, 40, 64):
+        return GaussLegendre(order)
+    return ChebyshevGauss(order)
+
+
+def default_quadrature() -> QuadratureRule:
+    """Reference default: ``ChebyshevGauss(100)`` (src/Quadrature.jl:62)."""
+    return ChebyshevGauss(100)
+
+
+def _expand(arr, target):
+    """Reshape a (n,) node table to broadcast over ``target``'s shape with a
+    new leading axis."""
+    return arr.reshape((-1,) + (1,) * jnp.ndim(target))
+
+
+def integrate(f: Callable, a, b, quad: QuadratureRule | None = None):
+    """Approximate ``\\int_a^b f(x) dx`` with the given rule.
+
+    ``a`` and ``b`` may be arrays (per-cell bounds); ``f`` must accept an
+    array with one extra leading node axis. Returns 0 where ``a >= b`` or
+    bounds are NaN (reference ``src/Quadrature.jl:62-87``).
+    """
+    if quad is None:
+        quad = default_quadrature()
+    y_np, w_np = quad.nodes_weights()
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    dt = jnp.result_type(a, b)
+    if not jnp.issubdtype(dt, jnp.floating):
+        dt = jnp.result_type(float)
+    a = a.astype(dt)
+    b = b.astype(dt)
+
+    valid = a < b
+    # Dead-branch sanitization: invalid/NaN bounds evaluate f on [1, 2].
+    a_s = jnp.where(valid, a, jnp.ones_like(a))
+    b_s = jnp.where(valid, b, 2 * jnp.ones_like(b))
+
+    y = _expand(jnp.asarray(y_np, dt), a)
+    w = _expand(jnp.asarray(w_np, dt), a)
+
+    scale = (b_s - a_s) / 2
+    shift = (a_s + b_s) / 2
+    x = scale * y + shift
+    fx = f(x)
+    res = jnp.sum(fx * w, axis=0) * scale
+    return jnp.where(valid, res, jnp.zeros_like(res))
+
+
+def integrate_segments(f: Callable, bnds, quad: QuadratureRule | None = None):
+    """Integrate ``f`` over consecutive subintervals of a bounds tuple.
+
+    ``integrate_segments(f, (a, b, c)) = \\int_a^b f + \\int_b^c f``
+    (reference ``src/Quadrature.jl:101-125``). Each segment with
+    ``lo >= hi`` (e.g. collapsed or NaN bounds) contributes zero.
+    """
+    total = None
+    for lo, hi in zip(bnds[:-1], bnds[1:]):
+        part = integrate(f, lo, hi, quad)
+        total = part if total is None else total + part
+    return total

@@ -1,0 +1,410 @@
+"""Core special-function numerics (L0).
+
+TPU-native implementations of the fixed-iteration incomplete-gamma kernels
+and small-number utilities from the reference's ``src/Utilities.jl``:
+
+* :func:`gamma_inc` — fixed-iteration regularized incomplete gamma
+  ``(P(a,x), Q(a,x))`` (series + Lentz continued fraction, branchless
+  selection; reference ``src/Utilities.jl:33-144``).
+* :func:`gamma_inc_inv` — Halley iteration inverse
+  (reference ``src/Utilities.jl:160-252``).
+* smallness thresholds ``eps_numerics*`` (reference ``src/Utilities.jl:254-341``),
+* :func:`sgs_weight_function` / regularised ratios
+  (reference ``src/Utilities.jl:415-509``),
+* :func:`logsumexp` shift-by-max over a stacked axis
+  (reference ``src/Utilities.jl:343-412``).
+
+Design notes (TPU-first):
+
+* All loops are **static trip count** ``lax.fori_loop`` — the reference
+  fixes iteration counts for warp convergence
+  (20 for f32 / 30 for f64); XLA requires static trip counts anyway.
+* Both the series and continued-fraction branches are evaluated and
+  selected with ``jnp.where`` (array semantics — no per-element
+  branching exists on the VPU). Dead-branch inputs are sanitized so the
+  discarded branch stays finite for ``jax.grad``.
+* Analytic derivative rules via ``jax.custom_jvp``: the x-derivative is
+  ``∂P/∂x = x^{a-1} e^{-x} / Γ(a)``; the a-derivative is *not*
+  implemented — a nonzero ``a`` tangent yields NaN rather than a silently
+  wrong zero gradient (the reference raises; under tracing we cannot).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "clamp_to_nonneg",
+    "eps_numerics",
+    "eps_numerics_2M_M",
+    "eps_numerics_2M_N",
+    "eps_numerics_P3_B",
+    "fac",
+    "gamma_inc",
+    "gamma_inc_inv",
+    "lgamma",
+    "gamma",
+    "logsumexp",
+    "sgs_weight_function",
+    "regularised_ratio",
+    "rime_mass_fraction",
+    "rime_density",
+]
+
+
+# ---------------------------------------------------------------------------
+# dtype helpers
+# ---------------------------------------------------------------------------
+
+def float_dtype(*args):
+    """The common floating dtype of the arguments (respecting x64 config)."""
+    dt = jnp.result_type(*args)
+    if not jnp.issubdtype(dt, jnp.floating):
+        dt = jnp.result_type(float)
+    return dt
+
+
+def _finfo(dt):
+    return jnp.finfo(dt)
+
+
+def machine_eps(dt) -> float:
+    return float(_finfo(dt).eps)
+
+
+def floatmin(dt) -> float:
+    return float(_finfo(dt).tiny)
+
+
+# ---------------------------------------------------------------------------
+# Smallness thresholds — two-tier epsilon discipline
+# (reference src/Utilities.jl:254-341)
+# ---------------------------------------------------------------------------
+
+def eps_numerics(dt) -> float:
+    """1-moment presence threshold: ``cbrt(floatmin)`` (~3.8e-13 @ f32)."""
+    return float(floatmin(dt) ** (1.0 / 3.0))
+
+
+def eps_numerics_2M_M(dt) -> float:
+    """2-moment mass presence threshold: machine eps."""
+    return machine_eps(dt)
+
+
+def eps_numerics_2M_N(dt) -> float:
+    """2-moment number presence threshold: machine eps."""
+    return machine_eps(dt)
+
+
+def eps_numerics_P3_B(dt) -> float:
+    """P3 rime-volume (B_rim) presence threshold: machine eps."""
+    return machine_eps(dt)
+
+
+def clamp_to_nonneg(x):
+    """Domain sanitization (NOT a physical threshold): ``max(x, 0)``."""
+    return jnp.maximum(x, jnp.zeros_like(x))
+
+
+def fac(n: int) -> int:
+    """Integer factorial, host-side (reference src/Utilities.jl:299-308)."""
+    if not 0 <= n <= 20:
+        raise ValueError(f"fac(n) is defined for 0 <= n <= 20, got {n}")
+    return math.factorial(n)
+
+
+# ---------------------------------------------------------------------------
+# lgamma / gamma wrappers
+# ---------------------------------------------------------------------------
+
+def lgamma(a):
+    return lax.lgamma(jnp.asarray(a, float_dtype(a)))
+
+
+def gamma(a):
+    return jnp.exp(lgamma(a))
+
+
+# ---------------------------------------------------------------------------
+# Incomplete gamma — fixed-iteration series + Lentz continued fraction
+# ---------------------------------------------------------------------------
+
+def _maxiters(dt) -> int:
+    # Reference: 20 iterations for Float32, 30 for Float64
+    # (src/Utilities.jl:103)
+    return 30 if dt == jnp.float64 else 20
+
+
+def _gamma_inc_core(a, x, lgamma_a):
+    """Both-branch evaluation of (P, Q); inputs must share a float dtype."""
+    dt = a.dtype
+    n = _maxiters(dt)
+    tiny = jnp.asarray(1e-30 if dt == jnp.float64 else 1e-30, dt)
+    one = jnp.asarray(1.0, dt)
+    zero = jnp.asarray(0.0, dt)
+
+    use_series = x < a + 1
+
+    # factor = x^a e^-x / Gamma(a), via logs for stability
+    x_log_safe = jnp.maximum(x, jnp.asarray(floatmin(dt), dt))
+    factor = jnp.exp(a * jnp.log(x_log_safe) - x - lgamma_a)
+
+    # --- Series branch: P(a,x) = factor * sum_k x^k / (a+1)...(a+k) -----
+    # Dead-branch sanitization: when the CF branch is active, run the series
+    # on x_s = a (inside its domain) so the discarded values stay finite.
+    x_s = jnp.where(use_series, x, a)
+    a_safe = jnp.maximum(a, jnp.asarray(floatmin(dt), dt))
+
+    def series_body(k, carry):
+        term, sum_p = carry
+        term = term * x_s / (a_safe + k)
+        return term, sum_p + term
+
+    term0 = one / a_safe
+    _, sum_p = lax.fori_loop(1, n + 1, series_body, (term0, term0))
+    P_series = jnp.clip(factor * sum_p, zero, one)
+
+    # --- Continued fraction (Lentz) branch: Q(a,x) ----------------------
+    # Dead-branch sanitization: x_c = a + 2 keeps b_k positive.
+    x_c = jnp.where(use_series, a + 2, x)
+    b1 = x_c + 1 - a
+    c0 = b1 + 1 / tiny
+    d0 = 1 / jnp.where(jnp.abs(b1) < tiny, tiny, b1)
+    h0 = d0
+
+    def cf_body(k, carry):
+        c, d, h = carry
+        ak = -k * (k - a)
+        bk = x_c + 2 * k + 1 - a
+        d_tmp = bk + ak * d
+        d = jnp.where(jnp.abs(d_tmp) < tiny, tiny, d_tmp)
+        c_tmp = bk + ak / c
+        c = jnp.where(jnp.abs(c_tmp) < tiny, tiny, c_tmp)
+        d = 1 / d
+        return c, d, h * (c * d)
+
+    _, _, h = lax.fori_loop(1, n + 1, cf_body, (c0, d0, h0))
+    Q_cf = jnp.clip(factor * h, zero, one)
+
+    P = jnp.where(use_series, P_series, one - Q_cf)
+    Q = jnp.where(use_series, one - P_series, Q_cf)
+
+    # Edge cases (reference src/Utilities.jl:94-98)
+    P = jnp.where(x <= 0, zero, P)
+    Q = jnp.where(x <= 0, one, Q)
+    P = jnp.where(jnp.isposinf(x), one, P)
+    Q = jnp.where(jnp.isposinf(x), zero, Q)
+    isnan = jnp.isnan(x) | jnp.isnan(a)
+    nan = jnp.asarray(jnp.nan, dt)
+    return jnp.where(isnan, nan, P), jnp.where(isnan, nan, Q)
+
+
+@jax.custom_jvp
+def gamma_inc(a, x):
+    """Regularized incomplete gamma ``(P(a,x), Q(a,x))``.
+
+    Fixed-iteration (20 @ f32 / 30 @ f64) series / Lentz continued fraction
+    approximation, matching the reference kernel at
+    ``src/Utilities.jl:93-144``. Differentiable in ``x`` (analytic rule);
+    a nonzero tangent in ``a`` produces NaN (unsupported, by design).
+    """
+    dt = float_dtype(a, x)
+    a = jnp.asarray(a, dt)
+    x = jnp.asarray(x, dt)
+    a, x = jnp.broadcast_arrays(a, x)
+    return _gamma_inc_core(a, x, lax.lgamma(a))
+
+
+def _is_sym_zero(t) -> bool:
+    return isinstance(t, jax.custom_derivatives.SymbolicZero)
+
+
+@lambda f: gamma_inc.defjvp(f, symbolic_zeros=True)
+def _gamma_inc_jvp(primals, tangents):
+    a, x = primals
+    da, dx = tangents
+    dt = float_dtype(a, x)
+    a = jnp.asarray(a, dt)
+    x = jnp.asarray(x, dt)
+    P, Q = gamma_inc(a, x)
+    x_safe = jnp.maximum(x, jnp.asarray(floatmin(dt), dt))
+    deriv = jnp.where(
+        x > 0, jnp.exp((a - 1) * jnp.log(x_safe) - x - lax.lgamma(a)), 0.0
+    )
+    # d/da is not implemented: a structurally-constant `a` (symbolic zero
+    # tangent) is fine; an `a` that depends on the differentiation variable
+    # poisons the gradient with NaN instead of a silently wrong zero
+    # (the reference raises; src/Utilities.jl:146-158).
+    zero = jnp.zeros_like(P)
+    bad = zero if _is_sym_zero(da) else jnp.asarray(jnp.nan, dt) * da
+    dxc = zero if _is_sym_zero(dx) else jnp.asarray(dx, dt)
+    dP = deriv * dxc + bad
+    dQ = -deriv * dxc + bad
+    return (P, Q), (dP, dQ)
+
+
+def gamma_inc_lower(a, x):
+    """Convenience: lower regularized incomplete gamma ``P(a, x)``."""
+    return gamma_inc(a, x)[0]
+
+
+def gamma_inc_upper(a, x):
+    """Convenience: upper regularized incomplete gamma ``Q(a, x)``."""
+    return gamma_inc(a, x)[1]
+
+
+# ---------------------------------------------------------------------------
+# Inverse incomplete gamma — Halley iteration
+# ---------------------------------------------------------------------------
+
+_HALLEY_ITERS = 15  # reference src/Utilities.jl:225
+
+
+@jax.custom_jvp
+def gamma_inc_inv(a, p, q):
+    """Inverse of :func:`gamma_inc`: ``x`` such that ``P(a,x) = p``.
+
+    Halley's method, fixed 15 iterations with convergence freezing
+    (reference ``src/Utilities.jl:205-252``). The ``Q - q`` residual is used
+    for ``p > 0.5`` to avoid catastrophic cancellation. Differentiable in
+    ``p`` via the inverse function theorem; ``a`` tangents yield NaN.
+    """
+    dt = float_dtype(a, p, q)
+    a = jnp.asarray(a, dt)
+    p = jnp.asarray(p, dt)
+    q = jnp.asarray(q, dt)
+    a, p, q = jnp.broadcast_arrays(a, p, q)
+
+    tiny = jnp.asarray(floatmin(dt), dt)
+    eps = jnp.asarray(machine_eps(dt), dt)
+
+    # Initial guess (src/Utilities.jl:212-217)
+    p_safe = jnp.maximum(p, tiny)
+    q_safe = jnp.maximum(q, tiny)
+    lgamma_a = lax.lgamma(a)
+    a_safe = jnp.maximum(a, tiny)
+    guess_lo = jnp.exp((jnp.log(p_safe) + lax.lgamma(a + 1)) / a_safe)
+    guess_hi = a - jnp.log(q_safe)
+    x0 = jnp.where(p < 0.5, guess_lo, guess_hi)
+    x0 = jnp.maximum(x0, tiny)
+
+    use_q = p > 0.5
+
+    def body(_, carry):
+        x, done = carry
+        P, Q = _gamma_inc_core(a, x, lgamma_a)
+        f = jnp.where(use_q, Q - q, P - p)
+        x_pos = jnp.maximum(x, tiny)
+        fprime_mag = jnp.exp((a - 1) * jnp.log(x_pos) - x - lgamma_a)
+        fprime = jnp.where(use_q, -fprime_mag, fprime_mag)
+        fp_zero = fprime == 0
+        fprime_safe = jnp.where(fp_zero, jnp.asarray(1.0, dt), fprime)
+        # f''/f' = (a - 1 - x)/x (sign-independent of residual choice)
+        f2_over_f1 = (a - 1 - x) / x_pos
+        denom = 1 - 0.5 * f / fprime_safe * f2_over_f1
+        step = f / (fprime_safe * denom)
+        # Protect against stepping to x <= 0
+        step = jnp.where(x - step <= 0, 0.5 * x, step)
+        x_new = x - step
+        done_pre = done | fp_zero
+        x = jnp.where(done_pre, x, x_new)
+        done = done_pre | (jnp.abs(step) < eps * x_new)
+        return x, done
+
+    x, _ = lax.fori_loop(0, _HALLEY_ITERS, body, (x0, jnp.zeros_like(x0, bool)))
+
+    x = jnp.where(p <= 0, jnp.asarray(0.0, dt), x)
+    x = jnp.where(q <= 0, jnp.asarray(jnp.inf, dt), x)
+    isnan = jnp.isnan(a) | jnp.isnan(p) | jnp.isnan(q)
+    return jnp.where(isnan, jnp.asarray(jnp.nan, dt), x)
+
+
+@lambda f: gamma_inc_inv.defjvp(f, symbolic_zeros=True)
+def _gamma_inc_inv_jvp(primals, tangents):
+    a, p, q = primals
+    da, dp, _dq = tangents
+    dt = float_dtype(a, p, q)
+    a = jnp.asarray(a, dt)
+    x = gamma_inc_inv(a, p, q)
+    x_safe = jnp.maximum(x, jnp.asarray(floatmin(dt), dt))
+    dP_dx = jnp.exp((a - 1) * jnp.log(x_safe) - x - lax.lgamma(a))
+    dx_dp = jnp.where(dP_dx > 0, 1.0 / jnp.maximum(dP_dx, floatmin(dt)), 0.0)
+    zero = jnp.zeros_like(x)
+    bad = zero if _is_sym_zero(da) else jnp.asarray(jnp.nan, dt) * da
+    dpc = zero if _is_sym_zero(dp) else jnp.asarray(dp, dt)
+    return x, dx_dp * dpc + bad
+
+
+# ---------------------------------------------------------------------------
+# logsumexp over a stacked axis (reference: unrolled_logsumexp over tuples)
+# ---------------------------------------------------------------------------
+
+def logsumexp(x, axis=-1):
+    """Shift-by-max ``log(sum(exp(x)))`` along ``axis``.
+
+    Non-finite maxima are passed through directly (avoids Inf - Inf;
+    reference ``src/Utilities.jl:399-412``).
+    """
+    xmax = jnp.max(x, axis=axis)
+    finite = jnp.isfinite(xmax)
+    shift = jnp.where(finite, xmax, jnp.zeros_like(xmax))
+    s = jnp.sum(jnp.exp(x - jnp.expand_dims(shift, axis)), axis=axis)
+    return jnp.where(finite, shift + jnp.log(s), xmax)
+
+
+# ---------------------------------------------------------------------------
+# SGS weight function + regularised ratios (reference src/Utilities.jl:415-509)
+# ---------------------------------------------------------------------------
+
+def sgs_weight_function(a, a_half):
+    """Smooth monotone weight ``w(a) ∈ [0, 1]`` with ``w(a_half) = 1/2``.
+
+    ``tanh ∘ atanh`` sigmoid with midpoint control; reference
+    ``src/Utilities.jl:445-457``.
+    """
+    dt = float_dtype(a, a_half)
+    a = jnp.asarray(a, dt)
+    eps = machine_eps(dt)
+    upper = jnp.minimum(jnp.asarray(1.0 - eps, dt), 42.0 * a_half)
+    a_s = jnp.clip(a, eps, upper)
+    k = -1.0 / (jnp.log2(jnp.asarray(1.0, dt) - a_half))
+    inner = 1 - 2 * (1 - a_s) ** k
+    inner = jnp.clip(inner, -1.0 + eps, 1.0 - eps)
+    w = (1 + jnp.tanh(2 * jnp.arctanh(inner))) / 2
+    w = jnp.where(a < 0, jnp.zeros_like(w), w)
+    w = jnp.where(4 * a < eps, jnp.zeros_like(w), w)
+    w = jnp.where(a > jnp.minimum(jnp.asarray(1.0, dt), 42.0 * a_half),
+                  jnp.ones_like(w), w)
+    return w
+
+
+def regularised_ratio(numerator, denominator, half=None, eps=None):
+    """``numerator / denominator`` blended smoothly to 0 for small denominators.
+
+    Reference ``src/Utilities.jl:469-479``.
+    """
+    dt = float_dtype(numerator, denominator)
+    if half is None:
+        half = machine_eps(dt)
+    if eps is None:
+        eps = machine_eps(dt) ** 2
+    w = sgs_weight_function(denominator, half)
+    denom_safe = jnp.where(
+        denominator < eps, jnp.asarray(1.0, dt), denominator
+    )
+    out = w * numerator / denom_safe
+    return jnp.where(denominator < eps, jnp.zeros_like(out), out)
+
+
+def rime_mass_fraction(q_rim, q_ice, half=None, eps=None):
+    """Regularised ``F_rim = q_rim / q_ice`` clamped to [0, 1]."""
+    return regularised_ratio(jnp.minimum(q_rim, q_ice), q_ice, half, eps)
+
+
+def rime_density(q_rim, b_rim, half=None, eps=None):
+    """Regularised ``rho_rim = q_rim / b_rim``."""
+    return regularised_ratio(q_rim, b_rim, half, eps)

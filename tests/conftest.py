@@ -1,0 +1,32 @@
+"""Test configuration.
+
+Runs the suite on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (the "fake backend" pattern — the reference
+runs its KernelAbstractions GPU kernels on the CPU() backend the same way,
+see /root/reference/test/gpu_performance.jl:27-37).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+# The environment's .axon_site hook pins JAX_PLATFORMS=axon (TPU tunnel);
+# override at the config level so the unit suite runs on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(params=["float32", "float64"])
+def dtype(request):
+    import numpy as np
+
+    return np.dtype(request.param)
