@@ -1,0 +1,27 @@
+"""Parameter layer (L1): frozen paramclasses with host-side precompute."""
+
+from .common import (
+    AirProperties,
+    Microphysics0MParams,
+    Parameters0M,
+    WaterProperties,
+    microphysics_0m_params,
+)
+from .terminal_velocity import (
+    Blk1MVelType,
+    Blk1MVelTypeRain,
+    Blk1MVelTypeSnow,
+    Chen2022VelType,
+    Chen2022VelTypeLargeIce,
+    Chen2022VelTypeRain,
+    Chen2022VelTypeSmallIce,
+    SB2006VelType,
+    StokesRegimeVelType,
+    TerminalVelocityParams,
+    blk1m_vel_type,
+    chen2022_vel_type,
+    terminal_velocity_params,
+)
+from .thermodynamics import ThermodynamicsParameters
+from . import m1
+from .m1 import Microphysics1MParams, microphysics_1m_params
