@@ -20,4 +20,4 @@ Layout (mirrors SURVEY.md layers):
 
 __version__ = "0.1.0"
 
-from . import utils
+from . import models, ops, parallel, parameters, utils

@@ -31,6 +31,7 @@ class ThermodynamicsParameters:
     T_freeze: float = 273.15               # freezing temperature [K]
     T_icenuc: float = 233.0                # homogeneous nucleation temp [K]
     grav: float = 9.81                     # gravitational acceleration [m/s2]
+    q_min: float = 1e-8                    # floor for donor linearization [kg/kg]
 
     @property
     def R_d(self) -> float:

@@ -1,0 +1,267 @@
+"""Fused-API (BMT) + column model + sharding integration tests.
+
+Mirrors the reference test strategy in
+/root/reference/test/bulk_tendencies_tests.jl (process routing, finiteness
+sweeps, water conservation) plus the column-driver / virtual-mesh checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudmicrophysics_tpu.models import column as COL
+from cloudmicrophysics_tpu.models import tendencies as BMT
+from cloudmicrophysics_tpu.ops import noneq
+from cloudmicrophysics_tpu.ops.states import MicroState, ThermoState
+from cloudmicrophysics_tpu.parameters import (
+    ThermodynamicsParameters,
+    microphysics_0m_params,
+    microphysics_1m_params,
+    terminal_velocity_params,
+)
+from cloudmicrophysics_tpu.parameters import m1 as P1
+
+TPS = ThermodynamicsParameters()
+MP = microphysics_1m_params()
+TV = terminal_velocity_params()
+
+
+class TestNonEq:
+    def test_condensation_sign(self, dtype):
+        # supersaturated -> condensation (positive); subsaturated with
+        # liquid -> evaporation (negative)
+        rho, T = dtype.type(1.1), dtype.type(280.0)
+        from cloudmicrophysics_tpu.ops import thermo as TDI
+
+        q_sat = float(TDI.saturation_vapor_specific_content_over_liquid(
+            TPS, jnp.asarray(T), jnp.asarray(rho)))
+        mic_sup = MicroState(*[jnp.asarray(v, dtype) for v in
+                               (1.2 * q_sat, 0.0, 0.0, 0.0, 0.0)])
+        mic_sub = MicroState(*[jnp.asarray(v, dtype) for v in
+                               (0.8 * q_sat + 1e-4, 1e-4, 0.0, 0.0, 0.0)])
+        th = ThermoState(jnp.asarray(rho), jnp.asarray(T))
+        assert float(noneq.conv_q_vap_to_q_lcl(MP, TPS, mic_sup, th)) > 0
+        assert float(noneq.conv_q_vap_to_q_lcl(MP, TPS, mic_sub, th)) < 0
+
+    def test_inp_limiter(self):
+        # no ice deposition above freezing
+        rho, T = 1.1, 280.0
+        from cloudmicrophysics_tpu.ops import thermo as TDI
+
+        q_sat_i = float(TDI.saturation_vapor_specific_content_over_ice(
+            TPS, jnp.float64(T), jnp.float64(rho)))
+        mic = MicroState(*[jnp.float64(v) for v in
+                           (1.5 * q_sat_i, 0.0, 0.0, 0.0, 0.0)])
+        th = ThermoState(jnp.float64(rho), jnp.float64(T))
+        assert noneq.conv_q_vap_to_q_icl(MP, TPS, mic, th) == 0
+        # below freezing, deposition happens
+        th_c = ThermoState(jnp.float64(rho), jnp.float64(260.0))
+        q_sat_ic = float(TDI.saturation_vapor_specific_content_over_ice(
+            TPS, jnp.float64(260.0), jnp.float64(rho)))
+        mic_c = MicroState(*[jnp.float64(v) for v in
+                             (1.2 * q_sat_ic, 0.0, 0.0, 0.0, 0.0)])
+        assert float(noneq.conv_q_vap_to_q_icl(MP, TPS, mic_c, th_c)) > 0
+
+    def test_frostenberg_timescale(self):
+        mp_f = microphysics_1m_params(
+            cloud_ice_formation=P1.TEMPERATURE_DEPENDENT)
+        rho = 1.1
+        from cloudmicrophysics_tpu.ops import thermo as TDI
+
+        for T in (250.0, 260.0):
+            q_sat_i = float(TDI.saturation_vapor_specific_content_over_ice(
+                TPS, jnp.float64(T), jnp.float64(rho)))
+            mic = MicroState(*[jnp.float64(v) for v in
+                               (1.2 * q_sat_i, 0.0, 1e-5, 0.0, 0.0)])
+            th = ThermoState(jnp.float64(rho), jnp.float64(T))
+            r = float(noneq.conv_q_vap_to_q_icl(mp_f, TPS, mic, th))
+            assert np.isfinite(r) and r > 0
+
+    def test_cloud_sedimentation_velocities(self, dtype):
+        rho = jnp.asarray(1.1, dtype)
+        v_liq = noneq.terminal_velocity(
+            MP.cloud.liquid, TV.stokes, rho, jnp.asarray(1e-3, dtype))
+        v_ice = noneq.terminal_velocity(
+            MP.cloud.ice, TV.chen2022.small_ice, rho, jnp.asarray(1e-4, dtype))
+        assert 0 < float(v_liq) < 1.0   # cloud droplets fall slowly
+        assert 0 < float(v_ice) < 2.0
+        assert noneq.terminal_velocity(
+            MP.cloud.liquid, TV.stokes, rho, jnp.asarray(0.0, dtype)) == 0
+        assert noneq.terminal_velocity(
+            MP.cloud.ice, TV.chen2022.small_ice, rho,
+            jnp.asarray(0.0, dtype)) == 0
+
+
+class TestBMT1M:
+    def _state(self, T, dt=np.float64, q=(2e-2, 1e-3, 5e-4, 5e-4, 5e-4)):
+        return [jnp.asarray(1.1, dt), jnp.asarray(T, dt)] + [
+            jnp.asarray(v, dt) for v in q]
+
+    def test_water_conservation_cold(self):
+        # hydrometeor tendencies exchange mass with vapor only through
+        # phase-change terms; intra-hydrometeor exchanges cancel
+        rho, T, *qs = self._state(260.0)
+        tend, src = BMT.bulk_tendencies_1m(
+            MP, TPS, rho, T, *qs, mode="instantaneous_verbose")
+        total = (tend.dq_lcl_dt + tend.dq_icl_dt
+                 + tend.dq_rai_dt + tend.dq_sno_dt)
+        phase = (src.S_phase_change_vap_lcl + src.S_phase_change_vap_icl
+                 + src.S_phase_change_vap_rai + src.S_phase_change_vap_sno)
+        np.testing.assert_allclose(float(total), float(phase), rtol=1e-10)
+
+    def test_warm_routing(self):
+        # above freezing: no cold-arm accretion, melt terms active
+        rho, T, *qs = self._state(TPS.T_freeze + 5)
+        _, src = BMT.bulk_tendencies_1m(
+            MP, TPS, rho, T, *qs, mode="instantaneous_verbose")
+        assert src.S_accr_lcl_sno_cold == 0
+        assert src.S_accr_rai_sno_cold == 0
+        assert float(src.S_melt_sno_rai) > 0
+        assert float(src.S_accr_lcl_sno_warm) > 0
+
+    def test_cold_routing(self):
+        rho, T, *qs = self._state(TPS.T_freeze - 10)
+        _, src = BMT.bulk_tendencies_1m(
+            MP, TPS, rho, T, *qs, mode="instantaneous_verbose")
+        assert src.S_accr_lcl_sno_warm == 0
+        assert src.S_accr_rai_sno_warm == 0
+        assert src.S_melt_sno_rai == 0
+        assert src.S_melt_icl_lcl == 0
+        assert float(src.S_accr_rai_sno_cold) > 0
+
+    def test_finiteness_sweep(self, dtype):
+        # curated sweep over (T, q) grid, all outputs finite
+        T = jnp.asarray(np.linspace(230, 310, 9), dtype)
+        q = jnp.asarray(np.geomspace(1e-12, 2e-2, 9), dtype)
+        Tg, qg = jnp.meshgrid(T, q)
+        rho = jnp.full_like(Tg, 1.0)
+        tend = BMT.bulk_tendencies_1m(
+            MP, TPS, rho, Tg, 2e-2 + 0 * qg, qg, qg / 2, qg / 3, qg / 4)
+        for leaf in tend:
+            assert np.all(np.isfinite(leaf))
+
+    def test_zero_state(self):
+        rho, T, *qs = self._state(270.0, q=(0, 0, 0, 0, 0))
+        tend = BMT.bulk_tendencies_1m(MP, TPS, rho, T, *qs)
+        # dry subsaturated state: no hydrometeor production
+        for v in tend:
+            assert float(v) <= 0 or abs(float(v)) < 1e-15
+
+    def test_linearized_average_matches_instantaneous_small_dt(self):
+        # for tiny dt the implicit substep tendency ~ instantaneous
+        rho, T, *qs = self._state(265.0)
+        inst = BMT.bulk_tendencies_1m(MP, TPS, rho, T, *qs)
+        lin = BMT.bulk_tendencies_1m(
+            MP, TPS, rho, T, *qs, mode="linearized_average", dt=1e-4, nsub=1)
+        for a, b in zip(inst, lin):
+            np.testing.assert_allclose(float(a), float(b), rtol=2e-3,
+                                       atol=1e-12)
+
+    def test_linearized_average_stable_large_dt(self):
+        # large dt: implicit solve keeps q non-negative-ish tendencies
+        rho, T, *qs = self._state(275.0)
+        lin = BMT.bulk_tendencies_1m(
+            MP, TPS, rho, T, *qs, mode="linearized_average", dt=600.0, nsub=4)
+        q0 = [float(v) for v in qs[1:]]
+        for dq, q in zip(lin, q0):
+            q_new = q + 600.0 * float(dq)
+            assert q_new >= -1e-12  # no overshoot below zero
+        for v in lin:
+            assert np.isfinite(float(v))
+
+    def test_0m(self):
+        mp0 = microphysics_0m_params()
+        r = BMT.bulk_tendencies_0m(
+            mp0, TPS, jnp.float64(280.0), jnp.float64(3e-3), jnp.float64(0.0))
+        assert float(r) < 0
+
+
+class TestColumnModel:
+    def _make_state(self, ncol=8, nlev=16, dtype=np.float32):
+        rng = np.random.default_rng(42)
+        shape = (ncol, nlev)
+        return COL.ColumnState(
+            rho=jnp.asarray(np.linspace(1.2, 0.5, nlev)[None, :]
+                            * np.ones((ncol, 1)), dtype),
+            T=jnp.asarray(np.linspace(295.0, 230.0, nlev)[None, :]
+                          * np.ones((ncol, 1)), dtype),
+            q_tot=jnp.asarray(1.5e-2 * np.ones(shape), dtype),
+            q_lcl=jnp.asarray(1e-3 * rng.random(shape), dtype),
+            q_icl=jnp.asarray(2e-4 * rng.random(shape), dtype),
+            q_rai=jnp.asarray(5e-4 * rng.random(shape), dtype),
+            q_sno=jnp.asarray(2e-4 * rng.random(shape), dtype),
+        )
+
+    def test_sedimentation_conserves_mass_except_surface(self):
+        # column-integrated rho*q change = - surface outflow flux
+        rho = jnp.ones((4, 10))
+        q = jnp.asarray(np.random.default_rng(1).random((4, 10)) * 1e-3)
+        w = jnp.full((4, 10), 2.0)
+        dz = 50.0
+        dqdt = COL.sedimentation_tendency(rho, q, w, dz)
+        col_change = jnp.sum(rho * dqdt * dz, axis=-1)
+        surface_flux = rho[:, 0] * w[:, 0] * q[:, 0]
+        np.testing.assert_allclose(col_change, -surface_flux, rtol=1e-6)
+
+    def test_step_runs_and_stays_finite(self):
+        state = self._make_state()
+        step = jax.jit(lambda s: COL.step_column_1m(
+            s, MP, TPS, TV, dt=1.0, dz=100.0))
+        for _ in range(5):
+            state = step(state)
+        for leaf in state:
+            assert np.all(np.isfinite(leaf))
+            assert np.all(np.asarray(leaf) >= 0) or leaf is state.T
+
+    def test_rain_falls_downward(self):
+        # put rain aloft; after stepping, rain appears below
+        state = self._make_state(ncol=2, nlev=20)
+        q_rai = np.zeros((2, 20), np.float32)
+        q_rai[:, 15] = 1e-3
+        state = state._replace(q_rai=jnp.asarray(q_rai),
+                               q_lcl=jnp.zeros_like(state.q_lcl),
+                               q_icl=jnp.zeros_like(state.q_icl),
+                               q_sno=jnp.zeros_like(state.q_sno),
+                               q_tot=jnp.full_like(state.q_tot, 1e-3))
+        step = jax.jit(lambda s: COL.step_column_1m(
+            s, MP, TPS, TV, dt=2.0, dz=50.0, sediment_cloud=False))
+        for _ in range(10):
+            state = step(state)
+        q_after = np.asarray(state.q_rai)
+        assert q_after[0, 14] > 0  # fell into lower levels
+        assert q_after[0, 15] < 1e-3
+
+    def test_sharded_step(self):
+        from cloudmicrophysics_tpu.parallel import column_mesh, shard_columns
+
+        mesh = column_mesh()
+        state = shard_columns(self._make_state(ncol=16), mesh)
+        step = jax.jit(lambda s: COL.step_column_1m(
+            s, MP, TPS, TV, dt=1.0, dz=100.0))
+        out = step(state)
+        assert "columns" in str(out.q_rai.sharding)
+        for leaf in out:
+            assert np.all(np.isfinite(leaf))
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as GE
+
+        fn, args = GE.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        for leaf in jax.tree_util.tree_leaves(out):
+            assert np.all(np.isfinite(leaf))
+
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as GE
+
+        GE.dryrun_multichip(8)
