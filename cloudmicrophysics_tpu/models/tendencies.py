@@ -36,10 +36,13 @@ TPS = ThermodynamicsParameters
 __all__ = [
     "SourceTerms1M",
     "Tendencies1M",
+    "Tendencies2M",
     "microphysics_source_terms_1m",
     "aggregate_tendencies_1m",
     "bulk_tendencies_0m",
     "bulk_tendencies_1m",
+    "warm_rain_tendencies_2m",
+    "bulk_tendencies_2m",
 ]
 
 
@@ -411,4 +414,115 @@ def bulk_tendencies_1m(
         (q_icl_f - q0[1]) / dt,
         (q_rai_f - q0[2]) / dt,
         (q_sno_f - q0[3]) / dt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-moment warm rain (Seifert-Beheng 2006)
+# (reference src/BulkMicrophysicsTendencies.jl:707-861)
+# ---------------------------------------------------------------------------
+
+class Tendencies2M(NamedTuple):
+    """Warm + (optional) P3 ice tendencies. Ice fields are zero for the
+    warm-only configuration."""
+
+    dq_lcl_dt: Array
+    dn_lcl_dt: Array
+    dq_rai_dt: Array
+    dn_rai_dt: Array
+    dq_ice_dt: Array
+    dq_rim_dt: Array
+    db_rim_dt: Array
+
+
+def warm_rain_tendencies_2m(warm_rain, tps: TPS, T, q_tot, q_lcl, q_rai,
+                            q_ice, rho, n_lcl, n_rai):
+    """All SB2006 warm-rain processes in one fused pass
+    (reference src/BulkMicrophysicsTendencies.jl:707-782).
+
+    ``n_lcl``/``n_rai`` are specific numbers [1/kg]; CM2 functions take
+    number densities ``N = rho n`` [1/m^3].
+    """
+    from ..ops import m2 as CM2
+    from ..ops.noneq import _relaxation_tendency, dqcld_dT, gamma_helper
+
+    sb = warm_rain.seifert_beheng
+    aps = warm_rain.air_properties
+
+    N_lcl = rho * n_lcl
+    N_rai = rho * n_rai
+    zero = jnp.zeros_like(rho)
+
+    # condensation/evaporation of cloud liquid (constant-tau kernel;
+    # reference calls CMNonEq._conv_q_vap_to_q_lcl_const)
+    tau = warm_rain.condevap.tau_relax
+    Rv = tps.R_v
+    Lv = TDI.latent_heat_vapor(tps, T)
+    cp_air = TDI.cp_m(tps, q_tot, q_lcl + q_rai, q_ice)
+    qv = TDI.q_vap(q_tot, q_lcl + q_rai, q_ice)
+    qv_sat = TDI.saturation_vapor_specific_content_over_liquid(tps, T, rho)
+    Gamma_l = gamma_helper(Lv, cp_air, dqcld_dT(qv_sat, Lv, Rv, T))
+    timescale = tau * Gamma_l
+    dq_lcl_cond = _relaxation_tendency(qv - qv_sat, q_lcl, timescale,
+                                       timescale)
+
+    # rain evaporation
+    dn_evap, dq_evap = CM2.rain_evaporation(
+        sb, aps, tps, q_tot, q_lcl, q_ice, q_rai, zero, rho, N_rai, T)
+
+    # autoconversion + cloud self-collection
+    acnv = CM2.autoconversion(sb.acnv, sb.pdf_c, q_lcl, q_rai, rho, N_lcl)
+    sc_lcl = CM2.cloud_liquid_self_collection(sb.acnv, sb.pdf_c, q_lcl, rho,
+                                              acnv.dN_lcl_dt)
+
+    # accretion
+    accr = CM2.accretion(sb, q_lcl, q_rai, rho, N_lcl)
+
+    # rain self-collection + breakup
+    sc_rai = CM2.rain_self_collection(sb.pdf_r, sb.self_col, q_rai, rho,
+                                      N_rai)
+    br_rai = CM2.rain_breakup(sb.pdf_r, sb.brek, q_rai, rho, N_rai, sc_rai)
+
+    # number adjustment from mass limits (Horn 2012)
+    numadj_lcl = CM2.number_tendency_from_mass_limits(
+        sb.pdf_c.xc_min, sb.pdf_c.xc_max, sb.numadj.tau, q_lcl, n_lcl)
+    numadj_rai = CM2.number_tendency_from_mass_limits(
+        sb.pdf_r.xr_min, sb.pdf_r.xr_max, sb.numadj.tau, q_rai, n_rai)
+
+    dq_lcl_dt = dq_lcl_cond + acnv.dq_lcl_dt + accr.dq_lcl_dt
+    dq_rai_dt = dq_evap + acnv.dq_rai_dt + accr.dq_rai_dt
+    dn_lcl_dt = (acnv.dN_lcl_dt + sc_lcl + accr.dN_lcl_dt) / rho + numadj_lcl
+    dn_rai_dt = (dn_evap + acnv.dN_rai_dt + sc_rai + br_rai) / rho \
+        + numadj_rai
+    return dq_lcl_dt, dq_rai_dt, dn_lcl_dt, dn_rai_dt
+
+
+def bulk_tendencies_2m(mp, tps: TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai,
+                       n_rai, q_ice=None, n_ice=None, q_rim=None, b_rim=None,
+                       log_lambda=None, inpc_log_shift=None) -> Tendencies2M:
+    """2-moment fused tendencies: SB2006 warm rain, plus P3 ice when
+    ``mp.ice`` is present (reference src/BulkMicrophysicsTendencies.jl:824-1083).
+    """
+    rho = clamp_to_nonneg(rho)
+    q_tot = clamp_to_nonneg(q_tot)
+    q_lcl = clamp_to_nonneg(q_lcl)
+    q_rai = clamp_to_nonneg(q_rai)
+    n_lcl = clamp_to_nonneg(n_lcl)
+    n_rai = clamp_to_nonneg(n_rai)
+    zero = jnp.zeros_like(jnp.asarray(rho) * jnp.asarray(T))
+    q_ice = zero if q_ice is None else clamp_to_nonneg(q_ice)
+
+    dq_lcl_dt, dq_rai_dt, dn_lcl_dt, dn_rai_dt = warm_rain_tendencies_2m(
+        mp.warm_rain, tps, T, q_tot, q_lcl, q_rai, q_ice, rho, n_lcl, n_rai)
+
+    if getattr(mp, "ice", None) is None:
+        return Tendencies2M(dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt,
+                            zero, zero, zero)
+
+    from .p3_tendencies import ice_tendencies_2m_p3
+
+    return ice_tendencies_2m_p3(
+        mp, tps, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
+        q_ice, n_ice, q_rim, b_rim, log_lambda, inpc_log_shift,
+        warm=(dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt),
     )

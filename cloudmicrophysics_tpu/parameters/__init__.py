@@ -23,5 +23,6 @@ from .terminal_velocity import (
     terminal_velocity_params,
 )
 from .thermodynamics import ThermodynamicsParameters
-from . import m1
+from . import ice_nucleation, m1, m2
 from .m1 import Microphysics1MParams, microphysics_1m_params
+from .m2 import Microphysics2MParams, microphysics_2m_params, sb2006
