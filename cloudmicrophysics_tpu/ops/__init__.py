@@ -1,4 +1,5 @@
 """Physics operators (L2-L4): pure elementwise process-rate functions."""
 
-from . import common, diagnostics, m0, m1, m2, noneq, states, susceptibility, thermo
+from . import (aerosol_activation, common, diagnostics, ice_nucleation, m0,
+               m1, m2, noneq, states, susceptibility, thermo)
 from .states import MicroState, MicroState2M, ThermoState

@@ -23,6 +23,7 @@ from .terminal_velocity import (
     terminal_velocity_params,
 )
 from .thermodynamics import ThermodynamicsParameters
-from . import ice_nucleation, m1, m2
+from . import aerosol, aerosol_species, ice_nucleation, m1, m2
+from .ice_nucleation import Frostenberg2023, ice_nucleation_parameters
 from .m1 import Microphysics1MParams, microphysics_1m_params
 from .m2 import Microphysics2MParams, microphysics_2m_params, sb2006

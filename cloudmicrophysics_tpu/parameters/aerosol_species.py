@@ -37,12 +37,13 @@ class Sulfate:
 
 @paramclass
 class ArizonaTestDust:
-    """Mohler 2006 deposition thresholds + ABIFM/ABDINM J-coefficients."""
+    """Mohler 2006 deposition thresholds (Table 2) + ABIFM/ABDINM
+    J-coefficients."""
 
-    S0_warm: float = 1.05    # S_i threshold, T > T_thr
+    S0_warm: float = 1.3     # S_i threshold, T > T_thr (220 K)
     S0_cold: float = 1.1     # T < T_thr
-    a_warm: float = 4.7      # activated-fraction steepness
-    a_cold: float = 9.2
+    a_warm: float = 2.0      # activated-fraction steepness
+    a_cold: float = 5.0
     deposition_m: float = 47.8
     deposition_c: float = -7.7
     ABIFM_m: float = 37.3
@@ -51,10 +52,12 @@ class ArizonaTestDust:
 
 @paramclass
 class DesertDust:
-    S0_warm: float = 1.14
+    """Saharan desert dust (Mohler 2006 Table 2 + Knopf-Alpert 2013)."""
+
+    S0_warm: float = 1.2
     S0_cold: float = 1.05
-    a_warm: float = -0.5
-    a_cold: float = 2.0
+    a_warm: float = 2.0
+    a_cold: float = 4.7
     deposition_m: float = 5.8
     deposition_c: float = 0.91
     ABIFM_m: float = 22.62
@@ -138,7 +141,7 @@ class H2SO4SolutionParameters:
     c1: float = 23.306
     c2: float = 5.3465
     c3: float = 12.0
-    c4: float = 4.4794
-    c5: float = 5814.0
+    c4: float = 8.19
+    c5: float = -5814.0
     c6: float = 928.9
     c7: float = 1876.7

@@ -1,8 +1,6 @@
 """Ice nucleation parameters.
 
-Reference: ``/root/reference/src/parameters/IceNucleation.jl``. Populated
-incrementally; Frostenberg2023 first (needed by the NonEq
-TemperatureDependent ice-formation timescale).
+Reference: ``/root/reference/src/parameters/IceNucleation.jl``.
 """
 
 from __future__ import annotations
@@ -35,52 +33,77 @@ class Frostenberg2023:
 @paramclass
 class Mohler2006:
     """Deposition nucleation on dust (Mohler et al. 2006;
-    reference src/parameters/IceNucleation.jl:13-40)."""
+    reference src/parameters/IceNucleation.jl:13-27)."""
 
-    Sᵢ_max: float = 1.35    # max ice saturation ratio
-    T_thr: float = 250.0    # threshold temperature [K]
+    Si_max: float = 1.35    # max allowed ice saturation ratio
+    T_thr: float = 220.0    # threshold temperature [K]
 
 
 @paramclass
 class Koop2000:
     """Homogeneous ice nucleation rate (Koop et al. 2000;
-    reference src/parameters/IceNucleation.jl:42-90)."""
+    reference src/parameters/IceNucleation.jl:38-70).
+    ``log10 J[cm^-3 s^-1] = c1 + c2 da - c3 da^2 + c4 da^3``."""
 
     delta_a_w_min: float = 0.26
     delta_a_w_max: float = 0.34
-    # cubic fit log10(J) = c1 + c2 da + c3 da^2 + c4 da^3 [1/cm3/s]
     c1: float = -906.7
     c2: float = 8502.0
-    c3: float = -26924.0
+    c3: float = 26924.0
     c4: float = 29180.0
-    # linear fit coefficients
-    linear_c1: float = -10.54758
-    linear_c2: float = 242.4979
+    linear_c1: float = -10.8106
+    linear_c2: float = 34.8951
 
 
 @paramclass
 class MorrisonMilbrandt2014:
-    """P3-style het/dep nucleation parameters (reference
-    src/parameters/IceNucleation.jl:92-140)."""
+    """P3 deposition (Thompson/Cooper) + heterogeneous condensation
+    freezing (Barklie-Gokhale/Bigg) parameters
+    (reference src/parameters/IceNucleation.jl:73-106)."""
 
-    c1: float = 0.005       # Cooper curve coefficient [1/L]
-    c2: float = 0.304       # Cooper curve exponent [1/K]
-    T0: float = 273.15      # reference temperature [K]
-    het_a: float = 0.65     # Barklie-Gokhale a [1/K]
-    het_B: float = 2e-4     # Bigg 1953 B [1/cm3/s]
+    T_dep_thres: float = 233.0  # temperature_homogenous_nucleation [K]
+    c1: float = 0.005           # Cooper curve [1/L]
+    c2: float = 0.304           # [1/K]
+    T0: float = 273.15
+    het_a: float = 0.65         # [1/K]
+    het_B: float = 2e-4 * 1e6   # [1/m^3/s] (2e-4 cm^-3 s^-1)
 
 
 @paramclass
 class RainFreezing:
-    """Bigg 1953 immersion freezing of rain (Barklie & Gokhale coefficients;
-    callable rate ``rf(T) = het_B exp(het_a (T0 - T))`` [1/m3/s]
-    (reference src/parameters/IceNucleation.jl:142-176)."""
+    """Bigg 1953 immersion freezing (Barklie & Gokhale 1959 coefficients);
+    callable volumetric rate ``J = het_B exp(het_a (T0 - T))`` [1/m^3/s]
+    (reference src/parameters/IceNucleation.jl:108-176)."""
 
-    het_a: float = 0.65     # [1/K]
-    het_B: float = 2e-4 * 1e6  # converted [1/m^3/s]
-    T0: float = 273.15
+    het_a: float = 0.65         # [1/K]
+    het_B: float = 2e-4 * 1e6   # [1/m^3(water)/s]
 
-    def rate(self, T):
+    def rate(self, T, T_freeze):
         import jax.numpy as jnp
 
-        return self.het_B * jnp.exp(self.het_a * (self.T0 - T))
+        return self.het_B * jnp.exp(self.het_a * (T_freeze - T))
+
+
+@paramclass
+class NIceProxyDepletion:
+    """F23 INP-activation memory model: deplete by in-cell ice number."""
+
+    tau_act: float = 300.0  # relaxation timescale [s]
+
+
+@paramclass
+class IceNucleationParameters:
+    """Umbrella: deposition (Mohler), homogeneous (Koop), P3 (MM2014)
+    (reference src/parameters/IceNucleation.jl)."""
+
+    deposition: Mohler2006
+    homogeneous: Koop2000
+    p3: MorrisonMilbrandt2014
+
+
+def ice_nucleation_parameters() -> IceNucleationParameters:
+    return IceNucleationParameters(
+        deposition=Mohler2006(),
+        homogeneous=Koop2000(),
+        p3=MorrisonMilbrandt2014(),
+    )
