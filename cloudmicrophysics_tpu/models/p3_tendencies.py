@@ -1,0 +1,198 @@
+"""2-moment + P3 ice fused tendencies.
+
+TPU-native port of ``/root/reference/src/BulkMicrophysicsTendencies.jl:898-1083``:
+warm-rain SB2006 tendencies plus the P3 ice processes — liquid-ice
+collisions, ice self-collection, melting, F23 deposition nucleation,
+F23-capped Bigg immersion freezing, sublimation/deposition relaxation with
+rime drain, ice number adjustment, and Bigg rain freezing.
+
+``loglambda`` is an *input* (solved outside — substepping semantics; AD
+holds it fixed, matching the reference's contract). The reference gates
+the expensive collision block behind ``q_ice > eps``; here the block is
+computed unconditionally on sanitized state and masked — the branchless
+equivalent (all cells of a TPU batch run the same code path).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import ice_nucleation as CM_HetIce
+from ..ops import m2 as CM2
+from ..ops import p3 as P3
+from ..ops import p3_processes as P3P
+from ..ops import thermo as TDI
+from ..ops.noneq import _relaxation_tendency, dqcld_dT, gamma_helper
+from ..parameters.thermodynamics import ThermodynamicsParameters
+from ..utils.special import (
+    clamp_to_nonneg,
+    eps_numerics_2M_M,
+    eps_numerics_2M_N,
+    float_dtype,
+)
+from .tendencies import Tendencies2M
+
+TPS = ThermodynamicsParameters
+PI = jnp.pi
+
+
+def _subdep_rate(tau, tps, rho, T, q_tot, q_lcl, q_rai, q_ice):
+    """Constant-timescale ice dep/subl relaxation (reference
+    CMNonEq._conv_q_vap_to_q_icl_const without the INP limiter — the
+    BMT applies its own above-freezing clamp)."""
+    Rv = tps.R_v
+    Ls = TDI.latent_heat_sublim(tps, T)
+    cp_air = TDI.cp_m(tps, q_tot, q_lcl + q_rai, q_ice)
+    qv = TDI.q_vap(q_tot, q_lcl + q_rai, q_ice)
+    qv_sat = TDI.saturation_vapor_specific_content_over_ice(tps, T, rho)
+    Gamma_i = gamma_helper(Ls, cp_air, dqcld_dT(qv_sat, Ls, Rv, T))
+    timescale = tau * Gamma_i
+    return _relaxation_tendency(qv - qv_sat, q_ice, timescale, timescale)
+
+
+def ice_tendencies_2m_p3(
+    mp, tps: TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
+    q_ice, n_ice, q_rim, b_rim, log_lambda, inpc_log_shift, warm,
+) -> Tendencies2M:
+    """Add the P3 ice tendencies to precomputed warm-rain tendencies."""
+    dt = float_dtype(rho, T)
+    em = eps_numerics_2M_M(dt)
+    en = eps_numerics_2M_N(dt)
+    zero = jnp.zeros_like(jnp.asarray(rho) * jnp.asarray(T))
+
+    q_ice = zero if q_ice is None else clamp_to_nonneg(q_ice)
+    n_ice = zero if n_ice is None else clamp_to_nonneg(n_ice)
+    q_rim = zero if q_rim is None else clamp_to_nonneg(q_rim)
+    b_rim = zero if b_rim is None else clamp_to_nonneg(b_rim)
+    log_lambda = zero if log_lambda is None else jnp.asarray(log_lambda, dt)
+    inpc_log_shift = zero if inpc_log_shift is None \
+        else jnp.asarray(inpc_log_shift, dt)
+
+    dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt = warm
+
+    ice = mp.ice
+    p3 = ice.scheme
+    vel = ice.terminal_velocity
+    pdf_c, pdf_r = ice.cloud_pdf, ice.rain_pdf
+    quad = ice.quad
+
+    # volumetric quantities
+    L_lcl, L_rai = q_lcl * rho, q_rai * rho
+    N_lcl, N_rai = n_lcl * rho, n_rai * rho
+    L_ice, N_ice = q_ice * rho, n_ice * rho
+    L_rim, B_rim = q_rim * rho, b_rim * rho
+
+    has_ice = (q_ice > em) & (n_ice > en)
+
+    # Sanitized state for the masked collision block: placeholder values
+    # keep every intermediate finite where ice is absent.
+    L_ice_s = jnp.where(has_ice, L_ice, 1e-6)
+    N_ice_s = jnp.where(has_ice, N_ice, 1e3)
+    L_rim_s = jnp.where(has_ice, L_rim, 0.0)
+    B_rim_s = jnp.where(has_ice, B_rim, 0.0)
+    loglam_s = jnp.where(has_ice & jnp.isfinite(log_lambda), log_lambda, 8.0)
+    state = P3.state_from_prognostic(p3, L_ice_s, N_ice_s, L_rim_s, B_rim_s)
+
+    dq_ice_dt = zero
+    dn_ice_dt = zero
+    dq_rim_dt = zero
+    db_rim_dt = zero
+
+    # --- Liquid-ice collisions (masked) ---
+    coll = P3P.bulk_liquid_ice_collision_sources(
+        state, loglam_s, pdf_c, pdf_r, L_lcl, N_lcl, L_rai, N_rai,
+        mp.warm_rain.air_properties, tps, vel, rho, T, quad=quad)
+    mask = lambda v: jnp.where(has_ice, v, zero)
+    dq_lcl_dt = dq_lcl_dt + mask(coll.dq_c)
+    dq_rai_dt = dq_rai_dt + mask(coll.dq_r)
+    dn_lcl_dt = dn_lcl_dt + mask(coll.dN_c) / rho
+    dn_rai_dt = dn_rai_dt + mask(coll.dN_r) / rho
+    dq_ice_dt = dq_ice_dt + mask(coll.dL_ice) / rho
+    dq_rim_dt = dq_rim_dt + mask(coll.dL_rim) / rho
+    db_rim_dt = db_rim_dt + mask(coll.dB_rim) / rho
+
+    # --- Ice self-collection (aggregation) ---
+    agg = P3P.ice_self_collection(state, loglam_s, vel, rho, quad=quad)
+    dn_ice_dt = dn_ice_dt - mask(agg) / rho
+
+    # --- Melting (above freezing) ---
+    melt_dN, melt_dL = P3P.ice_melt(vel, mp.warm_rain.air_properties, tps,
+                                    T, rho, state, loglam_s, quad=quad)
+    is_warm = T > tps.T_freeze
+    melt_mask = lambda v: jnp.where(has_ice & is_warm, v, zero)
+    dq_ice_melt = melt_mask(melt_dL) / rho
+    dn_ice_melt = melt_mask(melt_dN) / rho
+    dq_rai_dt = dq_rai_dt + dq_ice_melt
+    dn_rai_dt = dn_rai_dt + dn_ice_melt
+    dq_ice_dt = dq_ice_dt - dq_ice_melt
+    dn_ice_dt = dn_ice_dt - dn_ice_melt
+    rho_rim_safe = jnp.where(state.rho_rim > 0, state.rho_rim,
+                             jnp.ones_like(state.rho_rim))
+    dq_rim_dt = dq_rim_dt - dq_ice_melt * state.F_rim
+    db_rim_dt = db_rim_dt - jnp.where(
+        state.rho_rim > 0, dq_ice_melt * state.F_rim / rho_rim_safe, zero)
+
+    # --- F23 deposition nucleation (vapor -> pristine ice) ---
+    tau_act = ice.inp_depletion_model.tau_act
+    D_nuc = 10e-6
+    m_nuc = p3.rho_i * PI / 6 * D_nuc**3
+    n_active = CM_HetIce.n_active(ice.inp_depletion_model, n_ice)
+    dep_n, dep_q = CM_HetIce.deposition_rate_frostenberg(
+        _f23(mp), tps, T, rho, q_tot, q_lcl + q_rai, q_ice, n_active,
+        m_nuc, tau_act=tau_act, inpc_log_shift=inpc_log_shift)
+    dn_ice_dt = dn_ice_dt + dep_n
+    dq_ice_dt = dq_ice_dt + dep_q
+
+    # --- F23-capped Bigg immersion freezing of cloud droplets ---
+    cld_n, cld_q = CM_HetIce.liquid_freezing_rate_cloud(
+        ice.rain_freezing, pdf_c, tps, q_lcl, rho, N_lcl, T)
+    cap = CM_HetIce.immersion_limit_rate(
+        _f23(mp), T, rho, tau=tau_act, inpc_log_shift=inpc_log_shift,
+        n_active_proxy=n_active)
+    dn_imm = jnp.minimum(cld_n, cap)
+    cld_n_safe = jnp.where(cld_n > 0, cld_n, jnp.ones_like(cld_n))
+    dq_imm = jnp.where(cld_n > 0, cld_q * dn_imm / cld_n_safe, zero)
+    dq_lcl_dt = dq_lcl_dt - dq_imm
+    dn_lcl_dt = dn_lcl_dt - dn_imm
+    dq_ice_dt = dq_ice_dt + dq_imm
+    dn_ice_dt = dn_ice_dt + dn_imm
+    dq_rim_dt = dq_rim_dt + dq_imm           # frozen drop: F_rim = 1
+    db_rim_dt = db_rim_dt + dq_imm / p3.rho_i
+
+    # --- Ice sublimation / deposition relaxation ---
+    q_ice_safe = jnp.where(q_ice > em, q_ice, jnp.ones_like(q_ice))
+    n_per_q = jnp.where(q_ice > em, n_ice / q_ice_safe, zero)
+    dq_dep = _subdep_rate(mp.warm_rain.subdep.tau_relax, tps, rho, T,
+                          q_tot, q_lcl, q_rai, q_ice)
+    dq_dep = jnp.where(T > tps.T_freeze, jnp.minimum(dq_dep, zero), dq_dep)
+    dn_dep = jnp.where(dq_dep < 0, n_per_q * dq_dep, zero)
+    dq_ice_dt = dq_ice_dt + dq_dep
+    dn_ice_dt = dn_ice_dt + dn_dep
+    dq_sub = jnp.minimum(dq_dep, zero)
+    dq_rim_dt = dq_rim_dt + dq_sub * state.F_rim
+    db_rim_dt = db_rim_dt + jnp.where(
+        state.rho_rim > 0, dq_sub * state.F_rim / rho_rim_safe, zero)
+
+    # --- Ice number adjustment (mass limits; reference TODO params) ---
+    dn_ice_dt = dn_ice_dt + CM2.number_tendency_from_mass_limits(
+        1e-12, 1e-5, 100.0, q_ice, n_ice)
+
+    # --- Bigg rain freezing (fully rimed) ---
+    rf_n, rf_q = CM_HetIce.liquid_freezing_rate_rain(
+        ice.rain_freezing, pdf_r, tps, q_rai, rho, N_rai, T)
+    dq_rai_dt = dq_rai_dt - rf_q
+    dn_rai_dt = dn_rai_dt - rf_n
+    dq_ice_dt = dq_ice_dt + rf_q
+    dn_ice_dt = dn_ice_dt + rf_n
+    dq_rim_dt = dq_rim_dt + rf_q
+    db_rim_dt = db_rim_dt + rf_q / p3.rho_i
+
+    return Tendencies2M(dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt,
+                        dq_ice_dt, dn_ice_dt, dq_rim_dt, db_rim_dt)
+
+
+def _f23(mp):
+    """The Frostenberg climatology used for the F23 budgets."""
+    from ..parameters.ice_nucleation import Frostenberg2023
+
+    return Frostenberg2023()

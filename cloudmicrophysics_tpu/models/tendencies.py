@@ -431,6 +431,7 @@ class Tendencies2M(NamedTuple):
     dq_rai_dt: Array
     dn_rai_dt: Array
     dq_ice_dt: Array
+    dn_ice_dt: Array
     dq_rim_dt: Array
     db_rim_dt: Array
 
@@ -517,7 +518,7 @@ def bulk_tendencies_2m(mp, tps: TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai,
 
     if getattr(mp, "ice", None) is None:
         return Tendencies2M(dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt,
-                            zero, zero, zero)
+                            zero, zero, zero, zero)
 
     from .p3_tendencies import ice_tendencies_2m_p3
 

@@ -245,11 +245,20 @@ def chen2022_velocity_sum(aiu, bi, ciu, D):
 
 
 def ventilation_factor(vent, aps: AirProperties, v_term, D):
-    """Ventilation factor F_v(D) (SB2006 Eq 24; reference src/Common.jl:506-514)."""
+    """Ventilation factor F_v(D) (SB2006 Eq 24; reference src/Common.jl:506-514).
+
+    Accepts either the 1M ``Ventilation(a, b)`` or the P3
+    ``VentilationFactor(av, bv)`` coefficient struct.
+    """
+    a = getattr(vent, "a", None)
+    if a is None:
+        a, b = vent.av, vent.bv
+    else:
+        b = vent.b
     N_sc = aps.nu_air / aps.D_vapor
     cbrt_N_sc = N_sc ** (1.0 / 3.0)
     N_Re = D * v_term / aps.nu_air
-    return vent.a + vent.b * cbrt_N_sc * jnp.sqrt(N_Re)
+    return a + b * cbrt_N_sc * jnp.sqrt(N_Re)
 
 
 def volume_sphere_D(D):

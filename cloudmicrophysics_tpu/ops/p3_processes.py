@@ -1,0 +1,399 @@
+"""P3 microphysical processes: melting, liquid-ice collisions (the roofline
+double integral), and ice self-collection.
+
+TPU-native port of ``/root/reference/src/P3_processes.jl``:
+
+* :func:`het_ice_nucleation` — ABIFM immersion on cloud drops (``:20-45``);
+* :func:`ice_melt` — ventilation melt integral (``:64-94``);
+* :func:`bulk_liquid_ice_collision_sources` — the 2-D collision integral
+  producing the 10-component integrand (QCFRZ...wet-growth indicator) with
+  freezing/shedding split, the quadrature cloud inner integral, and the
+  **closed-form rain inner integral** (incomplete-gamma flux sums with a
+  crossover-diameter Brent solve) (``:152-655``);
+* :func:`ice_self_collection` — cusp-split double integral (``:676-712``).
+
+TPU mapping (SURVEY.md §7 hard part #1): fixed node counts; the inner
+liquid node axis is a leading array axis stacked on the outer ice node
+axis, so the whole double integral is one fused (n_l x n_i x cell)
+elementwise block contracted by two dots — no data-dependent trip counts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import Array
+
+from ..parameters.common import AirProperties
+from ..parameters.thermodynamics import ThermodynamicsParameters
+from ..utils.quadrature import QuadratureRule, default_quadrature
+from ..utils.special import clamp_to_nonneg, float_dtype, machine_eps
+from . import common as CO
+from . import ice_nucleation as CMI
+from . import m2 as CM2
+from . import p3 as P3
+from . import thermo as TDI
+
+TPS = ThermodynamicsParameters
+PI = jnp.pi
+
+__all__ = [
+    "het_ice_nucleation",
+    "ice_melt",
+    "bulk_liquid_ice_collision_sources",
+    "ice_self_collection",
+    "compute_max_freeze_rate",
+    "compute_local_rime_density",
+]
+
+
+def _nodes(quad: QuadratureRule, a, b):
+    """Quadrature nodes/weights mapped to [a, b] with a new LEADING axis.
+
+    Returns (x, w_scaled) where summing ``f(x) * w_scaled`` over axis 0
+    approximates the integral; invalid (a >= b) windows contribute zero.
+    """
+    dt = float_dtype(a, b)
+    y_np, w_np = quad.nodes_weights()
+    a = jnp.asarray(a, dt)
+    b = jnp.asarray(b, dt)
+    valid = a < b
+    a_s = jnp.where(valid, a, jnp.ones_like(a))
+    b_s = jnp.where(valid, b, 2 * jnp.ones_like(b))
+    shape = (-1,) + (1,) * jnp.ndim(a)
+    y = jnp.asarray(y_np, dt).reshape(shape)
+    w = jnp.asarray(w_np, dt).reshape(shape)
+    scale = (b_s - a_s) / 2
+    x = scale * y + (a_s + b_s) / 2
+    w_scaled = jnp.where(valid, w * scale, jnp.zeros_like(w * scale))
+    return x, w_scaled
+
+
+def _segment_nodes(quad, bnds):
+    """Concatenate node/weight tables over consecutive segments of a bounds
+    tuple along the leading axis."""
+    xs, ws = [], []
+    for lo, hi in zip(bnds[:-1], bnds[1:]):
+        x, w = _nodes(quad, lo, hi)
+        xs.append(x)
+        ws.append(w)
+    return jnp.concatenate(xs, axis=0), jnp.concatenate(ws, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous nucleation (reference src/P3_processes.jl:20-45)
+# ---------------------------------------------------------------------------
+
+def het_ice_nucleation(aerosol, tps: TPS, q_lcl, N_lcl, RH, T, rho_a):
+    """ABIFM immersion freezing of cloud droplets. Returns
+    ``(dNdt [1/m^3/s], dLdt [kg/m^3/s])``."""
+    J = CMI.ABIFM_J(aerosol, RH - CO.a_w_ice(tps, T))
+    A_aer = 1e-10  # assumed aerosol surface area (reference TODO)
+    JA = jnp.where(jnp.isfinite(J), J * A_aer, jnp.zeros_like(J))
+    dNdt = clamp_to_nonneg(JA * N_lcl)
+    dLdt = clamp_to_nonneg(JA * q_lcl * rho_a)
+    return dNdt, dLdt
+
+
+# ---------------------------------------------------------------------------
+# Melting (reference src/P3_processes.jl:64-94)
+# ---------------------------------------------------------------------------
+
+def ice_melt(velocity_params, aps: AirProperties, tps: TPS, T_a, rho_a,
+             state: P3.P3State, loglambda, quad=None):
+    """Ventilation-integral melt rate (QIMLT). Returns (dNdt, dLdt)."""
+    if quad is None:
+        quad = default_quadrature()
+    dt = float_dtype(T_a, rho_a)
+    L_f = TDI.latent_heat_fusion(tps, T_a)
+    T_freeze = state.params.T_freeze
+    vent = state.params.vent
+
+    v_term = P3.ice_particle_terminal_velocity(velocity_params, rho_a, state)
+    n = P3.size_distribution(state, loglambda)
+    bnds = P3.integral_bounds(state, loglambda, 1e-6)
+    x, w = _segment_nodes(quad, bnds)
+
+    F_v = CO.ventilation_factor(vent, aps, v_term(x), x)
+    integrand = P3.d_ice_mass_dD(state, x) * F_v * n(x) / x
+    fac = 4 * aps.K_therm / L_f * (T_a - T_freeze)
+    dLdt_raw = fac * jnp.sum(integrand * w, axis=0)
+
+    dLdt = clamp_to_nonneg(dLdt_raw)  # only melting, not fusion
+    q_safe = jnp.maximum(state.rho_q_ice, jnp.asarray(jnp.finfo(dt).tiny, dt))
+    dNdt = state.rho_n_ice / q_safe * dLdt
+    return dNdt, dLdt
+
+
+# ---------------------------------------------------------------------------
+# Collision machinery (reference src/P3_processes.jl:112-279)
+# ---------------------------------------------------------------------------
+
+def collision_cross_section_coeffs(state, D_i):
+    """(k0, k1, k2) of ``sigma(D_i, D_l) = k0 + k1 D_l + k2 D_l^2``."""
+    r_i = jnp.sqrt(P3.ice_area(state, D_i) / PI)
+    return PI * r_i**2, PI * r_i, PI / 4
+
+
+def compute_max_freeze_rate(aps: AirProperties, tps: TPS, velocity_params,
+                            rho_a, T_a, state):
+    """Musil 1970 dry-growth thermodynamic freezing limit; returns a
+    function of D_i (reference src/P3_processes.jl:184-219)."""
+    dt = float_dtype(rho_a, T_a)
+    cp_l = tps.cp_l
+    T_frz = tps.T_freeze
+    Lv = TDI.latent_heat_vapor(tps, T_a)
+    L_f = TDI.latent_heat_fusion(tps, T_a)
+    dT = T_frz - T_a
+    drho_v_sat = rho_a * (
+        TDI.p2q(tps, T_frz, rho_a,
+                TDI.saturation_vapor_pressure_over_ice(tps, T_frz))
+        - TDI.p2q(tps, T_a, rho_a,
+                  TDI.saturation_vapor_pressure_over_ice(tps, T_a)))
+    v_term = P3.ice_particle_terminal_velocity(velocity_params, rho_a, state)
+    denom = L_f - cp_l * dT
+    big = jnp.asarray(jnp.finfo(dt).max, dt)
+
+    def max_freeze_rate(D_i):
+        F_v = CO.ventilation_factor(state.params.vent, aps, v_term(D_i), D_i)
+        denom_safe = jnp.where(denom > 0, denom, jnp.ones_like(denom))
+        rate = 2 * (PI * D_i) * F_v \
+            * (aps.K_therm * dT + Lv * aps.D_vapor * drho_v_sat) / denom_safe
+        rate = jnp.where(denom > 0, rate, big)  # cold regime: f_frz -> 1
+        return jnp.where(T_a >= T_frz, jnp.zeros_like(rate), rate)
+
+    return max_freeze_rate
+
+
+def compute_local_rime_density(velocity_params, rho_a, T, state):
+    """Cober & List 1993 local rime density as a function of (D_i, D_l)
+    (reference src/P3_processes.jl:266-279)."""
+    T_c = T - state.params.T_freeze
+    v_ice = P3.ice_particle_terminal_velocity(velocity_params, rho_a, state)
+    aiu, bi, ciu = CO.chen2022_vel_coeffs_rain(velocity_params.rain, rho_a)
+
+    def rho_rim_local(D_i, D_l):
+        dt = float_dtype(D_l)
+        v_liq = CO.chen2022_velocity_sum(aiu, bi, ciu, D_l)
+        v_rel = jnp.abs(v_ice(D_i) - v_liq)
+        T_c_safe = jnp.where(jnp.abs(T_c) > 0, T_c,
+                             -jnp.asarray(machine_eps(dt), dt))
+        Ri = (D_l * 1e6 * v_rel) / (2 * T_c_safe)
+        return state.params.rho_rim_local(Ri)
+
+    return rho_rim_local
+
+
+# ---------------------------------------------------------------------------
+# The 2-D liquid-ice collision integral
+# (reference src/P3_processes.jl:283-567)
+# ---------------------------------------------------------------------------
+
+class CollisionSources(NamedTuple):
+    """Bulk tendencies from liquid-ice collisions
+    (reference src/P3_processes.jl:606-655)."""
+
+    dq_c: Array      # cloud mass tendency [kg/kg/s]
+    dq_r: Array      # rain mass tendency [kg/kg/s]
+    dN_c: Array      # cloud number tendency [1/m^3/s]
+    dN_r: Array      # rain number tendency [1/m^3/s]
+    dL_rim: Array    # rime mass tendency [kg/m^3/s]
+    dL_ice: Array    # ice mass tendency [kg/m^3/s]
+    dB_rim: Array    # rime volume tendency [m^3/m^3/s]
+
+
+def _crossover_diameter(v_target, v_l_fn, D_min, D_max, dt):
+    """Diameter where the liquid velocity equals ``v_target`` — fixed
+    iteration Brent (reference src/P3_processes.jl:326-339)."""
+    f = lambda D: v_l_fn(D) - v_target
+    f_lo = f(D_min + jnp.zeros_like(v_target))
+    f_hi = f(D_max + jnp.zeros_like(v_target))
+    n_iters = 10 if dt == jnp.float64 else 8
+    return P3._brent_fixed(f, D_min + jnp.zeros_like(v_target), f_lo,
+                           D_max + jnp.zeros_like(v_target), f_hi, n_iters)
+
+
+def bulk_liquid_ice_collision_sources(
+    state: P3.P3State, loglambda, pdf_c, pdf_r, L_c, N_c, L_r, N_r,
+    aps: AirProperties, tps: TPS, vel, rho_a, T, quad=None,
+) -> CollisionSources:
+    """Bulk rates from ice-liquid collisions: nested quadrature over
+    (ice nodes x liquid nodes) with the Musil freezing/shedding split and
+    wet-growth densification (reference src/P3_processes.jl:533-655).
+
+    The cloud inner integral uses quadrature; the rain inner integral uses
+    the closed-form incomplete-gamma flux sums with a crossover-diameter
+    solve for the (SB2006-exponential x Chen2022) pair
+    (reference ``:326-427``).
+    """
+    if quad is None:
+        quad = default_quadrature()
+    dt = float_dtype(rho_a, T)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    tau_wet = state.params.tau_wet
+    rho_i = state.params.rho_i
+    D_shd = 1e-3  # shed drop size [m] (reference TODO)
+    rho_w = pdf_c.rho_w
+
+    m_liq = lambda D: rho_w * CO.volume_sphere_D(D)
+
+    # PSDs
+    n_c = lambda D: CM2.size_distribution_cloud(pdf_c, L_c / rho_a, rho_a,
+                                                N_c, D)
+    n_i = P3.size_distribution(state, loglambda)
+
+    p = 1e-5
+    ice_bnds = P3.integral_bounds(state, loglambda, p)
+    c_lo, c_hi = CM2.size_distribution_bounds_cloud(pdf_c, L_c / rho_a,
+                                                    rho_a, N_c, p)
+    r_lo, r_hi = CM2.size_distribution_bounds_rain(pdf_r, L_r / rho_a,
+                                                   rho_a, N_r, p)
+
+    # velocities
+    v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
+    aiu, bi, ciu = CO.chen2022_vel_coeffs_rain(vel.rain, rho_a)
+    v_liq = lambda D: CO.chen2022_velocity_sum(aiu, bi, ciu, D)
+
+    rho_rim_loc = compute_local_rime_density(vel, rho_a, T, state)
+    max_frz = compute_max_freeze_rate(aps, tps, vel, rho_a, T, state)
+
+    # --- outer ice nodes: (n_i_nodes, *cell) ---
+    Di, wi = _segment_nodes(quad, ice_bnds)
+    v_i_at_Di = v_ice(Di)
+    k0, k1, k2 = collision_cross_section_coeffs(state, Di)
+
+    # --- cloud inner integral by quadrature: liquid axis leads ---
+    Dl_c, wl_c = _nodes(quad, c_lo, c_hi)      # (n_l, *cell)
+    Dl = Dl_c[:, None]                          # (n_l, 1, *cell)
+    wl = wl_c[:, None]
+    K = k0[None] + k1[None] * Dl + k2 * Dl**2
+    dV = K * jnp.abs(v_i_at_Di[None] - v_liq(Dl))  # E = 1
+    nl = n_c(Dl)
+    t1 = dV * nl
+    t2 = t1 * m_liq(Dl)
+    t3 = t2 / rho_rim_loc(Di[None], Dl)
+    dN_c_col = jnp.sum(t1 * wl, axis=0)         # per ice node
+    dM_c_col = jnp.sum(t2 * wl, axis=0)
+    dB_c_col = jnp.sum(t3 * wl, axis=0)
+
+    # --- rain inner integral: closed form (reference :326-427) ---
+    rain_params = CM2.pdf_rain_parameters(pdf_r, L_r / rho_a, rho_a, N_r)
+    N0r, Dr_mean = rain_params.N0r, rain_params.Dr_mean
+    lam_r = 1 / jnp.maximum(Dr_mean, tiny)
+    rain_valid = (N0r > 0) & (r_hi > r_lo)
+    r_lo_s = jnp.where(rain_valid, r_lo, jnp.ones_like(r_lo))
+    r_hi_s = jnp.where(rain_valid, r_hi, 2 * jnp.ones_like(r_hi))
+    Dstar = _crossover_diameter(v_i_at_Di, v_liq, r_lo_s, r_hi_s, dt)
+
+    def Ip(a, b, pexp, alpha):
+        return (k0 * P3.gamma_inc_moment(a, b, pexp, alpha)
+                + k1 * P3.gamma_inc_moment(a, b, pexp + 1, alpha)
+                + k2 * P3.gamma_inc_moment(a, b, pexp + 2, alpha))
+
+    def flux(a, b, pexp):
+        s = v_i_at_Di * Ip(a, b, pexp, lam_r)
+        for j in range(3):
+            s = s - aiu[j] * Ip(a, b, pexp + bi[j], lam_r + ciu[j])
+        return s
+
+    def crossing(pexp):
+        return flux(r_lo_s, Dstar, pexp) - flux(Dstar, r_hi_s, pexp)
+
+    mfac = rho_w * PI / 6
+    dN_r_col = N0r * crossing(0.0)
+    dM_r_col = N0r * mfac * crossing(3.0)
+    bad = ~(jnp.isfinite(dN_r_col) & jnp.isfinite(dM_r_col)) | ~rain_valid
+    dN_r_col = jnp.where(bad, jnp.zeros_like(dN_r_col), dN_r_col)
+    dM_r_col = jnp.where(bad, jnp.zeros_like(dM_r_col), dM_r_col)
+
+    # rain rime-volume inner integral by quadrature
+    Dl_r, wl_r = _nodes(quad, r_lo, r_hi)
+    Dlr = Dl_r[:, None]
+    wlr = wl_r[:, None]
+    n_r_v = CM2.size_distribution_rain(pdf_r, L_r / rho_a, rho_a, N_r, Dlr)
+    K_r = k0[None] + k1[None] * Dlr + k2 * Dlr**2
+    dV_r = K_r * jnp.abs(v_i_at_Di[None] - v_liq(Dlr))
+    t3_r = dV_r * n_r_v * m_liq(Dlr) / rho_rim_loc(Di[None], Dlr)
+    dB_r_col = jnp.sum(t3_r * wlr, axis=0)
+
+    # --- outer assembly: freezing/shedding split per ice node ---
+    dM_col = dM_c_col + dM_r_col
+    dM_frz = jnp.minimum(dM_col, max_frz(Di))
+    dM_col_safe = jnp.where(dM_col == 0, jnp.ones_like(dM_col), dM_col)
+    f_frz = jnp.where(dM_col == 0, jnp.zeros_like(dM_col),
+                      dM_frz / dM_col_safe)
+    wet = (dM_col > dM_frz).astype(dt)
+
+    ni = n_i(Di)
+    contract = lambda v: jnp.sum(ni * v * wi, axis=0)
+    QCFRZ = contract(dM_c_col * f_frz)
+    QCSHD = contract(dM_c_col * (1 - f_frz))
+    NCCOL = contract(dN_c_col)
+    QRFRZ = contract(dM_r_col * f_frz)
+    QRSHD = contract(dM_r_col * (1 - f_frz))
+    NRCOL = contract(dN_r_col)
+    int_M_col = contract(dM_col)
+    BCCOL = contract(dB_c_col * f_frz)
+    BRCOL = contract(dB_r_col * f_frz)
+    int_wet_M_col = contract(wet * dM_col)
+
+    # --- bulk sources (reference :606-655) ---
+    M_safe = jnp.where(int_M_col == 0, jnp.ones_like(int_M_col), int_M_col)
+    f_wet = jnp.where(int_M_col == 0, jnp.zeros_like(int_M_col),
+                      int_wet_M_col / M_safe)
+    NRSHD = QRSHD / m_liq(jnp.asarray(D_shd, dt))
+
+    F_rim, rho_rim = state.F_rim, state.rho_rim
+    rho_rim_safe = jnp.where(rho_rim > 0, rho_rim, jnp.ones_like(rho_rim))
+    B_rim = jnp.where(rho_rim > 0, state.rho_q_ice * F_rim / rho_rim_safe,
+                      jnp.zeros_like(rho_rim))
+    QIWET = f_wet * state.rho_q_ice * (1 - F_rim) / tau_wet
+    BIWET = f_wet * (state.rho_q_ice / rho_i - B_rim) / tau_wet
+
+    return CollisionSources(
+        dq_c=(-QCFRZ - QCSHD) / rho_a,
+        dq_r=(-QRFRZ + QCSHD) / rho_a,
+        dN_c=-NCCOL,
+        dN_r=-NRCOL + NRSHD,
+        dL_rim=QCFRZ + QRFRZ + QIWET,
+        dL_ice=QCFRZ + QRFRZ,
+        dB_rim=BCCOL + BRCOL + BIWET,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ice self-collection (reference src/P3_processes.jl:676-712)
+# ---------------------------------------------------------------------------
+
+def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
+    """Aggregation loss rate of ice number [1/m^3/s] — double integral with
+    the inner integral split at the |v1 - v2| cusp (D2 = D1)."""
+    if quad is None:
+        quad = default_quadrature()
+    dt = float_dtype(rho_a, loglambda)
+    n_i = P3.size_distribution(state, loglambda)
+    v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
+
+    p = machine_eps(dt)
+    bnds = P3.integral_bounds(state, loglambda, p)
+    D_lo, D_hi = bnds[0], bnds[-1]
+
+    D1, w1 = _segment_nodes(quad, bnds)        # (n1, *cell)
+    v1 = v_ice(D1)
+    r1 = jnp.sqrt(P3.ice_area(state, D1) / PI)
+
+    def half(lo, hi):
+        # inner nodes: (n2, n1, *cell); cusp-split halves are smooth
+        D2, w2 = _nodes(quad, lo, hi)
+        v2 = v_ice(D2)
+        r2 = jnp.sqrt(P3.ice_area(state, D2) / PI)
+        K = PI * (r1[None] + r2) ** 2
+        integrand = K * jnp.abs(v1[None] - v2) * n_i(D2)
+        return jnp.sum(integrand * w2, axis=0)
+
+    lo_b = D_lo + jnp.zeros_like(D1)
+    hi_b = D_hi + jnp.zeros_like(D1)
+    inner = half(lo_b, D1) + half(D1, hi_b)
+    total = jnp.sum(inner * n_i(D1) * w1, axis=0)
+    return 0.5 * total

@@ -1,0 +1,217 @@
+"""P3 processes + 2M+P3 BMT tests.
+
+Mirrors the reference's P3 process smoke/convergence tests
+(/root/reference/test/p3_tests.jl collision sections,
+bulk_tendencies_tests.jl and bulk_tendencies_quadrature_tests.jl).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudmicrophysics_tpu.models.tendencies import bulk_tendencies_2m
+from cloudmicrophysics_tpu.ops import p3 as P3
+from cloudmicrophysics_tpu.ops import p3_processes as P3P
+from cloudmicrophysics_tpu.parameters import (
+    AirProperties,
+    ThermodynamicsParameters,
+    chen2022_vel_type,
+)
+from cloudmicrophysics_tpu.parameters.aerosol_species import Illite
+from cloudmicrophysics_tpu.parameters.m2 import (
+    RainParticlePDF_SB2006,
+    cloud_pdf_sb2006,
+    microphysics_2m_params,
+)
+from cloudmicrophysics_tpu.parameters.p3 import parameters_p3
+from cloudmicrophysics_tpu.utils.quadrature import GaussLegendre
+
+TPS = ThermodynamicsParameters()
+APS = AirProperties()
+CHEN = chen2022_vel_type()
+PARAMS = parameters_p3()
+PDF_C = cloud_pdf_sb2006()
+PDF_R = RainParticlePDF_SB2006()
+F = jnp.float64
+
+RHO_A = 1.1
+
+
+def make_state(L_ice=1e-3, N_ice=1e5, F_rim=0.4, rho_rim=400.0):
+    st = P3.p3_state(PARAMS, F(L_ice), F(N_ice), F(F_rim), F(rho_rim))
+    loglam = P3.get_distribution_loglambda(st)
+    return st, loglam
+
+
+class TestHetNucleation:
+    def test_rates(self):
+        dN, dL = P3P.het_ice_nucleation(
+            Illite(), TPS, F(1e-4), F(1e8), F(1.0), F(251.0), F(RHO_A))
+        assert float(dN) > 0 and float(dL) > 0
+        # colder -> faster
+        dN2, _ = P3P.het_ice_nucleation(
+            Illite(), TPS, F(1e-4), F(1e8), F(1.0), F(245.0), F(RHO_A))
+        assert float(dN2) > float(dN)
+
+
+class TestIceMelt:
+    def test_melt_above_freezing(self):
+        st, loglam = make_state()
+        dN, dL = P3P.ice_melt(CHEN, APS, TPS, F(275.0), F(RHO_A), st, loglam,
+                              quad=GaussLegendre(40))
+        assert float(dL) > 0 and float(dN) > 0
+        # below freezing: clamped to zero (no fusion)
+        dN0, dL0 = P3P.ice_melt(CHEN, APS, TPS, F(270.0), F(RHO_A), st,
+                                loglam, quad=GaussLegendre(40))
+        assert float(dL0) == 0 and float(dN0) == 0
+        # warmer -> faster melt
+        dN2, dL2 = P3P.ice_melt(CHEN, APS, TPS, F(278.0), F(RHO_A), st,
+                                loglam, quad=GaussLegendre(40))
+        assert float(dL2) > float(dL)
+
+
+class TestMaxFreezeRate:
+    def test_musil(self):
+        st, _ = make_state()
+        f = P3P.compute_max_freeze_rate(APS, TPS, CHEN, F(RHO_A), F(260.0),
+                                        st)
+        r = float(f(F(1e-3)))
+        assert r > 0
+        # above freezing: zero
+        f_warm = P3P.compute_max_freeze_rate(APS, TPS, CHEN, F(RHO_A),
+                                             F(280.0), st)
+        assert float(f_warm(F(1e-3))) == 0
+        # very cold regime: floatmax guard (f_frz -> 1)
+        f_cold = P3P.compute_max_freeze_rate(APS, TPS, CHEN, F(RHO_A),
+                                             F(180.0), st)
+        assert float(f_cold(F(1e-3))) > 1e30
+
+
+class TestLocalRimeDensity:
+    def test_range(self):
+        st, _ = make_state()
+        rho_fn = P3P.compute_local_rime_density(CHEN, F(RHO_A), F(263.0), st)
+        vals = [float(rho_fn(F(1e-3), F(D))) for D in (1e-5, 1e-4, 1e-3)]
+        for v in vals:
+            assert 50.0 <= v <= 916.7 + 1e-6
+
+
+class TestCollisions:
+    ARGS = dict(L_c=1e-3 * RHO_A, N_c=1e8, L_r=1e-4 * RHO_A, N_r=1e4)
+
+    def _sources(self, T, quad=GaussLegendre(16), **kw):
+        args = {**self.ARGS, **kw}
+        st, loglam = make_state()
+        return P3P.bulk_liquid_ice_collision_sources(
+            st, loglam, PDF_C, PDF_R, F(args["L_c"]), F(args["N_c"]),
+            F(args["L_r"]), F(args["N_r"]), APS, TPS, CHEN, F(RHO_A), F(T),
+            quad=quad)
+
+    def test_cold_collisions_freeze(self):
+        # below freezing: liquid is collected and freezes -> rime grows
+        s = self._sources(260.0)
+        assert float(s.dq_c) < 0          # cloud collected
+        assert float(s.dN_c) < 0
+        assert float(s.dL_ice) > 0        # ice mass grows
+        assert float(s.dL_rim) > 0        # rime grows
+        assert float(s.dB_rim) > 0
+        for v in s:
+            assert np.isfinite(float(v))
+
+    def test_mass_conservation(self):
+        # collected liquid mass = frozen + shed; frozen goes to ice
+        s = self._sources(260.0)
+        collected = -(float(s.dq_c) + float(s.dq_r)) * RHO_A
+        np.testing.assert_allclose(collected, float(s.dL_ice), rtol=1e-6)
+
+    def test_quadrature_convergence(self):
+        # higher order quadrature converges (reference
+        # bulk_tendencies_quadrature_tests ladder)
+        s16 = self._sources(260.0, quad=GaussLegendre(16))
+        s40 = self._sources(260.0, quad=GaussLegendre(40))
+        s64 = self._sources(260.0, quad=GaussLegendre(64))
+        for v16, v40, v64 in zip(s16, s40, s64):
+            if abs(float(v64)) > 1e-18:
+                e16 = abs(float(v16) - float(v64)) / abs(float(v64))
+                e40 = abs(float(v40) - float(v64)) / abs(float(v64))
+                assert e40 <= e16 + 1e-10
+                assert e40 < 5e-2
+
+    def test_zero_liquid(self):
+        s = self._sources(260.0, L_c=0.0, N_c=0.0, L_r=0.0, N_r=0.0)
+        for v in s:
+            np.testing.assert_allclose(float(v), 0.0, atol=1e-20)
+
+
+class TestIceSelfCollection:
+    def test_aggregation(self):
+        st, loglam = make_state()
+        rate = P3P.ice_self_collection(st, loglam, CHEN, F(RHO_A),
+                                       quad=GaussLegendre(40))
+        assert float(rate) > 0
+        # more ice -> much faster aggregation (~N^2)
+        st2, loglam2 = make_state(L_ice=2e-3, N_ice=2e5)
+        rate2 = P3P.ice_self_collection(st2, loglam2, CHEN, F(RHO_A),
+                                        quad=GaussLegendre(40))
+        assert float(rate2) > 2 * float(rate)
+
+
+class TestBMT2MP3:
+    MP = microphysics_2m_params(with_ice=True)
+
+    def _tend(self, T, q_ice=1e-4, n_ice=1e5 / RHO_A, **kw):
+        st = P3.p3_state(PARAMS, F(q_ice * RHO_A), F(n_ice * RHO_A),
+                         F(kw.get("F_rim", 0.3)), F(400.0))
+        loglam = P3.get_distribution_loglambda(st)
+        return bulk_tendencies_2m(
+            self.MP, TPS, F(RHO_A), F(T), F(1.2e-2), F(1e-3), F(1e8 / RHO_A),
+            F(1e-4), F(1e4 / RHO_A), q_ice=F(q_ice), n_ice=F(n_ice),
+            q_rim=F(kw.get("q_rim", 0.3 * q_ice)),
+            b_rim=F(kw.get("b_rim", 0.3 * q_ice / 400.0)),
+            log_lambda=loglam)
+
+    def test_cold_full_tendencies(self):
+        out = self._tend(258.0)
+        for name, v in zip(out._fields, out):
+            assert np.isfinite(float(v)), name
+        # riming transfers liquid to ice below freezing
+        assert float(out.dq_ice_dt) > 0
+        assert float(out.dq_rim_dt) > 0
+
+    def test_warm_melts(self):
+        out = self._tend(278.0)
+        for v in out:
+            assert np.isfinite(float(v))
+        # ice melts into rain above freezing
+        assert float(out.dq_ice_dt) < 0
+
+    def test_no_ice_matches_warm_only(self):
+        # with zero ice state, P3 additions reduce to warm rain + nucleation
+        out = self._tend(288.0, q_ice=0.0, n_ice=0.0, q_rim=0.0, b_rim=0.0)
+        for v in out:
+            assert np.isfinite(float(v))
+
+    def test_fused_jit_grid(self, dtype):
+        n = 16
+        T = jnp.asarray(np.linspace(250, 280, n), dtype)
+        q_ice = jnp.asarray(np.geomspace(1e-7, 1e-3, n), dtype)
+        n_ice = jnp.full((n,), 1e5, dtype)
+
+        @jax.jit
+        def run(T, q_ice, n_ice):
+            st = P3.p3_state(PARAMS, q_ice * RHO_A, n_ice * RHO_A,
+                             jnp.full_like(T, 0.3),
+                             jnp.full_like(T, 400.0))
+            loglam = P3.get_distribution_loglambda(st)
+            return bulk_tendencies_2m(
+                self.MP, TPS, jnp.asarray(RHO_A, dtype), T,
+                jnp.full_like(T, 1.2e-2), jnp.full_like(T, 1e-3),
+                jnp.full_like(T, 1e8), jnp.full_like(T, 1e-4),
+                jnp.full_like(T, 1e4), q_ice=q_ice, n_ice=n_ice,
+                q_rim=0.3 * q_ice, b_rim=0.3 * q_ice / 400.0,
+                log_lambda=loglam)
+
+        out = run(T, q_ice, n_ice)
+        for leaf in out:
+            assert np.all(np.isfinite(leaf))
