@@ -27,3 +27,4 @@ from .quadrature import (
     integrate,
     integrate_segments,
 )
+from .show import field_units, show_params

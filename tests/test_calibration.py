@@ -1,0 +1,153 @@
+"""Calibration (EKI) + emulator + sandbox tests.
+
+Mirrors the reference's perfect-model recovery workflow
+(/root/reference/test/ice_nucleation_calibration.jl) and the emulator
+training harness (test/aerosol_activation_emulators.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudmicrophysics_tpu.models import calibration as CAL
+from cloudmicrophysics_tpu.models import parcel as PM
+from cloudmicrophysics_tpu.ops import thermo as TDI
+from cloudmicrophysics_tpu.parameters import (
+    AirProperties,
+    ThermodynamicsParameters,
+)
+
+TPS = ThermodynamicsParameters()
+F = jnp.float64
+
+
+class TestEKI:
+    def test_linear_recovery(self):
+        # EKI recovers parameters of a linear forward map exactly
+        A = jnp.asarray(np.random.default_rng(0).normal(size=(6, 2)))
+        theta_true = jnp.asarray([2.0, -1.5])
+        y = A @ theta_true
+
+        def forward(thetas):
+            return thetas @ A.T
+
+        res = CAL.eki_calibrate(forward, [0.0, 0.0], [2.0, 2.0], y,
+                                np.eye(6) * 1e-6, n_ensemble=30,
+                                n_iterations=10)
+        np.testing.assert_allclose(np.asarray(res.theta), [2.0, -1.5],
+                                   atol=0.05)
+        assert float(res.errors[-1]) < float(res.errors[0])
+
+    def test_abifm_perfect_model_recovery(self):
+        # perfect-model: generate observations with known (m, c), recover
+        # them through the full vmapped parcel forward map
+        import dataclasses
+
+        from cloudmicrophysics_tpu.parameters.aerosol_species import Illite
+
+        T0, p0, Nl, r0 = 251.0, 80000.0, 1e8, 1e-6
+        e = float(TDI.saturation_vapor_pressure_over_liquid(TPS, F(T0)))
+        md = (p0 - e) / TPS.R_d / T0
+        mv = e / TPS.R_v / T0
+        ml = Nl * 4 / 3 * np.pi * 1000 * r0**3
+        ic = PM.ParcelState(
+            S_l=F(1.0), p_air=F(p0), T=F(T0), q_vap=F(mv / (md + mv + ml)),
+            q_liq=F(ml / (md + mv + ml)), q_ice=F(0.0), N_aer=F(0.0),
+            N_liq=F(Nl), N_ice=F(0.0), ln_inpc=F(0.0))
+        kwargs = dict(heterogeneous="ABIFM",
+                      condensation_growth="Condensation",
+                      const_dt=1.0, w=0.5)
+
+        m_true, c_true = 54.48, -10.67
+        aerosol = dataclasses.replace(Illite(), ABIFM_m=m_true,
+                                      ABIFM_c=c_true)
+        params = PM.parcel_params(aerosol=aerosol, **kwargs)
+        traj = PM.run_parcel(ic, 0.0, 60.0, params)
+        frozen = np.asarray(traj.N_ice / np.maximum(
+            np.asarray(traj.N_liq + traj.N_ice), 1.0))
+        idx = np.linspace(0, len(frozen) - 1, 5).astype(int)
+        y_obs = frozen[idx]
+        assert y_obs[-1] > 0  # some freezing happened
+
+        res = CAL.calibrate_abifm(
+            ic, 60.0, kwargs, y_obs, noise_std=0.02,
+            prior_mean=(50.0, -9.0), prior_std=(8.0, 2.0),
+            n_ensemble=20, n_iterations=6)
+        m_fit, c_fit = float(res.theta[0]), float(res.theta[1])
+        # (m, c) are correlated through J; accept recovery of the observed
+        # freezing behavior: rerun with fitted params and compare
+        import dataclasses as dc
+
+        aero_fit = dc.replace(Illite(), ABIFM_m=m_fit, ABIFM_c=c_fit)
+        traj_fit = PM.run_parcel(
+            ic, 0.0, 60.0, PM.parcel_params(aerosol=aero_fit, **kwargs))
+        frozen_fit = np.asarray(traj_fit.N_ice / np.maximum(
+            np.asarray(traj_fit.N_liq + traj_fit.N_ice), 1.0))[idx]
+        np.testing.assert_allclose(frozen_fit, y_obs, atol=0.05)
+        assert float(res.errors[-1]) <= float(res.errors[0])
+
+
+class TestEmulator:
+    def test_train_and_predict(self):
+        pytest.importorskip("flax")
+        from cloudmicrophysics_tpu.models import emulator as EM
+        from cloudmicrophysics_tpu.parameters.aerosol import (
+            AerosolActivationParameters,
+        )
+
+        ap = AerosolActivationParameters()
+        aip = AirProperties()
+        X, y = EM.generate_training_data(ap, aip, TPS, n_samples=512,
+                                         seed=1)
+        model, params, loss = EM.train_emulator(X, y, hidden=(64, 64),
+                                                n_steps=2000)
+        assert loss < 0.01
+        # prediction through the API reproduces ARG within tolerance on a
+        # fresh sample (reference emulator harness targets ~0.1 rmse)
+        X2, y2 = EM.generate_training_data(ap, aip, TPS, n_samples=64,
+                                           seed=2)
+        pred = np.asarray(model.apply(params, jnp.asarray(X2, jnp.float32)))
+        assert np.sqrt(np.mean((pred - y2) ** 2)) < 0.1
+        # the mode-permutation API returns per-mode numbers
+        from cloudmicrophysics_tpu.parameters.aerosol import (
+            AerosolDistribution,
+            ModeKappa,
+        )
+
+        mode = lambda N: ModeKappa(r_dry=5e-8, stdev=2.0, N=N,
+                                   vol_mix_ratio=(1.0,),
+                                   mass_mix_ratio=(1.0,),
+                                   molar_mass=(0.13214,), kappa=(0.53,))
+        ad = AerosolDistribution(modes=(mode(1e8), mode(5e8)))
+        out = EM.N_activated_per_mode_emulated(
+            model, params, ap, ad, aip, TPS, 290.0, 9e4, 1.0,
+            0.01, 0.0, 0.0)
+        assert len(out) == 2
+        assert 0 <= float(out[0]) <= 1e8 and 0 <= float(out[1]) <= 5e8
+
+
+class TestP3Sandbox:
+    def test_runs(self):
+        from cloudmicrophysics_tpu.models.p3_sandbox import (
+            P3SandboxState,
+            run_p3_sandbox,
+        )
+        from cloudmicrophysics_tpu.parameters.aerosol_species import Illite
+        from cloudmicrophysics_tpu.parameters.p3 import parameters_p3
+
+        # reference IC (p3_sandbox/p3_sandbox.jl:68-84): slightly
+        # supersaturated vapor; immersion freezing is a trickle
+        N_l, r_l = 500e3, 1e-6
+        q_l = N_l * 4 / 3 * np.pi * r_l**3 * 1000.0 / 1.2
+        ic = P3SandboxState(N_ice=F(100e6), q_ice=F(1e-3), q_rim=F(1e-4),
+                            B_rim=F(1e-4 / 200))
+        traj, thresholds = run_p3_sandbox(
+            ic, 0.0, 2.0, 1.0, parameters_p3(), TPS, Illite(),
+            T=F(251.0), p_air=F(800e2), q_vap=F(8.1e-4), q_liq=F(q_l),
+            N_liq=F(N_l), r_liq=F(r_l))
+        # ABIFM at da_w ~ 0.2 freezes O(0.1 /m^3/s): N_ice grows but by
+        # far less than one droplet per cm^3
+        growth = float(traj.N_ice[-1]) - 100e6
+        assert 0 < growth < 1e3
+        D_th, D_gr, D_cr, rho_g = thresholds
+        assert float(D_th) < float(D_gr) < float(D_cr)
