@@ -156,15 +156,22 @@ class SB2006:
 
 
 def sb2006(is_limited: bool = True, **overrides) -> SB2006:
+    """Build the SB2006 umbrella; ``overrides`` maps component name
+    ("pdf_c", "pdf_r", "acnv", "accr", "self_col", "brek", "evap",
+    "numadj") to a dict of keyword overrides for that component's
+    constructor (mirrors the reference's TOML-override route,
+    src/parameters/toml/SB2006_limiters.toml)."""
+    ov = {k: dict(v) for k, v in overrides.items()}
     return SB2006(
-        pdf_c=cloud_pdf_sb2006(),
-        pdf_r=RainParticlePDF_SB2006(is_limited=is_limited),
-        acnv=AcnvSB2006(),
-        accr=AccrSB2006(),
-        self_col=SelfColSB2006(),
-        brek=BreakupSB2006(),
-        evap=evaporation_sb2006(),
-        numadj=NumberAdjustmentHorn2012(),
+        pdf_c=cloud_pdf_sb2006(**ov.get("pdf_c", {})),
+        pdf_r=RainParticlePDF_SB2006(is_limited=is_limited,
+                                     **ov.get("pdf_r", {})),
+        acnv=AcnvSB2006(**ov.get("acnv", {})),
+        accr=AccrSB2006(**ov.get("accr", {})),
+        self_col=SelfColSB2006(**ov.get("self_col", {})),
+        brek=BreakupSB2006(**ov.get("brek", {})),
+        evap=evaporation_sb2006(**ov.get("evap", {})),
+        numadj=NumberAdjustmentHorn2012(**ov.get("numadj", {})),
     )
 
 
