@@ -1,0 +1,108 @@
+"""Multi-kernel throughput suite (one JSON line per kernel).
+
+Complements the driver-facing ``bench.py`` (which reports the single
+headline 1M number) with per-scheme throughputs on the available device:
+
+* ``1m_step``    — fused 1M bulk tendencies + sedimentation (ncol, nlev)
+* ``2m_warm``    — fused SB2006 warm-rain tendencies
+* ``2m_p3``      — warm rain + full P3 ice (shape solve outside, collision
+                   quadrature inside) — the heaviest kernel
+* ``parcel``     — Euler-scan parcel steps/s (latency-bound scan)
+
+Usage: ``python benchmarks/bench_suite.py [--n 4096]``
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _throughput(step, args, n_pts, n_iter=30):
+    import jax
+
+    out = step(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return n_pts * n_iter / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4096)
+    ap.add_argument("--nlev", type=int, default=128)
+    args_cli = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import cloudmicrophysics_tpu as cm
+    from cloudmicrophysics_tpu.models.tendencies import bulk_tendencies_2m
+
+    tps = cm.parameters.ThermodynamicsParameters()
+    F = jnp.float32
+    N = args_cli.n * args_cli.nlev
+    f = lambda v: jnp.full((N,), v, F)
+    results = []
+
+    # --- 1M fused step (same kernel as bench.py) ---
+    from __graft_entry__ import _build
+
+    step1, state1 = _build(ncol=args_cli.n, nlev=args_cli.nlev,
+                           dtype=jnp.float32)
+    jit1 = jax.jit(step1)
+    results.append(("1m_step", _throughput(jit1, (state1,), N), N))
+
+    # --- 2M warm rain ---
+    mp2 = cm.parameters.microphysics_2m_params()
+    jit2 = jax.jit(lambda rho, T, qt, ql, nl, qr, nr: bulk_tendencies_2m(
+        mp2, tps, rho, T, qt, ql, nl, qr, nr))
+    a2 = (f(1.1), f(288.0), f(6e-3), f(1e-3), f(9e7), f(5e-4), f(9e5))
+    results.append(("2m_warm", _throughput(jit2, a2, N), N))
+
+    # --- 2M + P3 ice ---
+    mp3 = cm.parameters.microphysics_2m_params(with_ice=True)
+    n3 = max(N // 16, 1024)
+    f3 = lambda v: jnp.full((n3,), v, F)
+    jit3 = jax.jit(
+        lambda rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim:
+        bulk_tendencies_2m(mp3, tps, rho, T, qt, ql, nl, qr, nr,
+                           qi, ni, qrim, brim))
+    a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
+          f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400))
+    results.append(("2m_p3", _throughput(jit3, a3, n3, n_iter=10), n3))
+
+    # --- parcel scan (steps/s; latency-bound) ---
+    from cloudmicrophysics_tpu.models import parcel as PM
+
+    ic = PM.ParcelState(S_l=F(1.02), p_air=F(8e4), T=F(278.0),
+                        q_vap=F(6e-3), q_liq=F(1e-3), q_ice=F(0.0),
+                        N_aer=F(1e8), N_liq=F(1e8), N_ice=F(0.0),
+                        ln_inpc=F(0.0))
+    params = PM.parcel_params(condensation_growth="Condensation",
+                              const_dt=0.1, w=1.0)
+    n_steps = 1000
+    run = jax.jit(lambda ic: PM.run_parcel(ic, 0.0, n_steps * 0.1, params))
+    results.append(("parcel", _throughput(run, (ic,), n_steps, n_iter=10),
+                    n_steps))
+
+    dev = jax.devices()[0].platform
+    for name, v, n_pts in results:
+        print(json.dumps({
+            "metric": f"{name} throughput",
+            "value": float(f"{v:.4g}"),
+            "unit": "grid-points/s" if name != "parcel" else "steps/s",
+            "batch": n_pts,
+            "device": dev,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -174,6 +174,9 @@ def size_distribution_bounds_cloud(pdf_c, q, rho_a, N, p=None):
     dt = float_dtype(q, rho_a, N)
     if p is None:
         p = machine_eps(dt)
+    # cast: a Python-float p would drag the all-scalar gamma_inc_inv call
+    # to the x64 default and promote the f32 pipeline
+    p = jnp.asarray(p, dt)
     _, lam_c, nuD, muD = pdf_cloud_parameters(pdf_c, q, rho_a, N)
     lam_safe = jnp.where(jnp.isinf(lam_c) | (lam_c <= 0),
                          jnp.ones_like(lam_c), lam_c)

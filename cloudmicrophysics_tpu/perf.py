@@ -1,0 +1,99 @@
+"""Performance-regression harness.
+
+TPU-native analog of the reference's ``bench_press``
+(``/root/reference/test/performance_tests.jl:26-76``), which enforces a
+per-call latency budget, zero allocations, JET type-stability, and a
+return-type check on every hot function. The XLA equivalents enforced
+here:
+
+* **latency budget** — best-of-N wall time of the *compiled* call;
+* **zero retrace** — calling again with same-shape/dtype arguments must
+  not re-trace (the XLA analog of zero allocations: a retrace means the
+  function's cache key depends on values it shouldn't);
+* **dtype preservation** — float32 in → float32 out (the analog of the
+  reference's ``FT`` return-type check / type-stability gate).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["bench_press", "BenchReport"]
+
+
+class BenchReport(NamedTuple):
+    name: str
+    best_ns: float
+    budget_ns: float
+    n_traces: int
+    ok: bool
+
+
+def _leaf_dtypes(tree: Any) -> set:
+    return {
+        l.dtype for l in jax.tree_util.tree_leaves(tree)
+        if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+    }
+
+
+def bench_press(
+    fn: Callable,
+    args: tuple,
+    max_time_ns: float,
+    name: str | None = None,
+    n_calls: int = 10,
+    check_dtype: bool = True,
+    static_argnums: tuple = (),
+) -> BenchReport:
+    """Jit ``fn``, enforce the three invariants, return a report.
+
+    Raises ``AssertionError`` on budget breach, retrace, or dtype
+    promotion — mirroring the reference's test-failure-on-budget-breach
+    contract (test/performance_tests.jl:52-67)."""
+    name = name or getattr(fn, "__name__", "<fn>")
+    n_traces = 0
+
+    def counted(*a):
+        nonlocal n_traces
+        n_traces += 1
+        return fn(*a)
+
+    jitted = jax.jit(counted, static_argnums=static_argnums)
+
+    out = jitted(*args)
+    jax.block_until_ready(out)
+    out2 = jitted(*args)  # same shapes/dtypes: must hit the cache
+    jax.block_until_ready(out2)
+    assert n_traces == 1, (
+        f"bench_press[{name}]: retraced on identical call "
+        f"({n_traces} traces) — cache key depends on argument values")
+
+    if check_dtype:
+        in_dt = _leaf_dtypes(args)
+        out_dt = _leaf_dtypes(out)
+        if in_dt and out_dt:
+            widest_in = max(in_dt, key=lambda d: jnp.finfo(d).bits)
+            bad = {d for d in out_dt
+                   if jnp.finfo(d).bits > jnp.finfo(widest_in).bits}
+            assert not bad, (
+                f"bench_press[{name}]: output promoted to {bad} from "
+                f"{in_dt} inputs")
+
+    best = float("inf")
+    for _ in range(n_calls):
+        t0 = time.perf_counter_ns()
+        r = jitted(*args)
+        jax.block_until_ready(r)
+        best = min(best, time.perf_counter_ns() - t0)
+
+    ok = best <= max_time_ns
+    report = BenchReport(name=name, best_ns=best, budget_ns=max_time_ns,
+                         n_traces=n_traces, ok=ok)
+    assert ok, (
+        f"bench_press[{name}]: best {best / 1e6:.3f} ms over budget "
+        f"{max_time_ns / 1e6:.3f} ms")
+    return report

@@ -122,6 +122,11 @@ def fac(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 def lgamma(a):
+    # Python scalars evaluate host-side: keeps them weakly typed (a traced
+    # f32 computation is not silently promoted to f64 under x64) and lets
+    # XLA constant-fold parameter-only gamma factors.
+    if isinstance(a, (int, float)) and not isinstance(a, bool):
+        return math.lgamma(a)
     return lax.lgamma(jnp.asarray(a, float_dtype(a)))
 
 

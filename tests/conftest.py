@@ -30,3 +30,8 @@ def dtype(request):
     import numpy as np
 
     return np.dtype(request.param)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-compiling benchmark/integration tests")

@@ -1,0 +1,138 @@
+"""Performance-regression budgets (reference test/performance_tests.jl).
+
+Each hot entry point goes through :func:`cloudmicrophysics_tpu.perf.bench_press`,
+which enforces (a) a per-call latency budget on the compiled call, (b) the
+zero-retrace invariant (XLA analog of the reference's zero-allocation
+gate), and (c) no dtype promotion (analog of the FT return-type check).
+
+Budgets are CPU wall times on a 4096-point float32 batch with ~15-30x
+headroom over measured dev-machine times — they catch catastrophic
+regressions (eager fallback, per-element dispatch, accidental f64
+promotion), not few-percent drift. The TPU throughput trend is tracked by
+bench.py / benchmarks/bench_suite.py instead.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import cloudmicrophysics_tpu as cm
+from cloudmicrophysics_tpu.models.tendencies import (
+    bulk_tendencies_0m,
+    bulk_tendencies_1m,
+    bulk_tendencies_2m,
+)
+from cloudmicrophysics_tpu.ops import m1 as CM1
+from cloudmicrophysics_tpu.perf import bench_press
+from cloudmicrophysics_tpu.utils.special import gamma_inc, gamma_inc_inv
+
+TPS = cm.parameters.ThermodynamicsParameters()
+N = 4096
+F = jnp.float32
+
+
+def full(v):
+    return jnp.full((N,), v, F)
+
+
+MS = 1e6  # ns per ms
+
+
+class TestNumericsBudgets:
+    def test_gamma_inc(self):
+        r = bench_press(gamma_inc, (full(2.5), full(1.2)), 5 * MS)
+        assert r.n_traces == 1
+
+    def test_gamma_inc_inv(self):
+        bench_press(gamma_inc_inv, (full(2.5), full(0.3), full(0.7)),
+                    30 * MS)
+
+
+class TestSchemeBudgets:
+    def test_bulk_0m(self):
+        mp = cm.parameters.microphysics_0m_params()
+        bench_press(
+            lambda T, ql, qi: bulk_tendencies_0m(mp, TPS, T, ql, qi),
+            (full(278.0), full(1e-3), full(1e-4)), 5 * MS,
+            name="bulk_0m")
+
+    def test_bulk_1m(self):
+        mp = cm.parameters.microphysics_1m_params()
+        bench_press(
+            lambda rho, T, qt, ql, qi, qr, qs: bulk_tendencies_1m(
+                mp, TPS, rho, T, qt, ql, qi, qr, qs),
+            (full(1.1), full(278.0), full(5e-3), full(1e-3), full(1e-4),
+             full(5e-4), full(2e-4)), 10 * MS,
+            name="bulk_1m")
+
+    def test_rain_terminal_velocity_chen(self):
+        mp = cm.parameters.microphysics_1m_params()
+        tv = cm.parameters.terminal_velocity_params()
+        bench_press(
+            lambda rho, q: CM1.terminal_velocity(
+                mp.precip.rain, tv.chen2022.rain, rho, q),
+            (full(1.1), full(1e-3)), 5 * MS,
+            name="vt_rain_chen2022")
+
+    def test_bulk_2m_warm(self):
+        mp = cm.parameters.microphysics_2m_params()
+        bench_press(
+            lambda rho, T, qt, ql, nl, qr, nr: bulk_tendencies_2m(
+                mp, TPS, rho, T, qt, ql, nl, qr, nr),
+            (full(1.1), full(288.0), full(6e-3), full(1e-3), full(9e7),
+             full(5e-4), full(9e5)), 15 * MS,
+            name="bulk_2m_warm")
+
+    @pytest.mark.slow
+    def test_bulk_2m_p3(self):
+        # the 2-D collision quadrature dominates; 512-point batch,
+        # measured ~60 ms on CPU -> 1.5 s budget
+        mp = cm.parameters.microphysics_2m_params(with_ice=True)
+        n = 512
+        f = lambda v: jnp.full((n,), v, F)
+        bench_press(
+            lambda rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim:
+            bulk_tendencies_2m(mp, TPS, rho, T, qt, ql, nl, qr, nr,
+                               qi, ni, qrim, brim),
+            (f(1.1), f(263.0), f(4e-3), f(5e-4), f(9e7), f(2e-4), f(9e5),
+             f(1e-4), f(9e4), f(3e-5), f(3e-5 / 400)), 1500 * MS,
+            name="bulk_2m_p3")
+
+    def test_aerosol_activation(self):
+        from cloudmicrophysics_tpu.ops import aerosol_activation as AA
+        from cloudmicrophysics_tpu.parameters.aerosol import (
+            AerosolActivationParameters,
+            AerosolDistribution,
+            ModeKappa,
+        )
+
+        ap = AerosolActivationParameters()
+        aip = cm.parameters.AirProperties()
+        mode = ModeKappa(r_dry=5e-8, stdev=2.0, N=1e8, vol_mix_ratio=(1.0,),
+                         mass_mix_ratio=(1.0,), molar_mass=(0.13214,),
+                         kappa=(0.53,))
+        ad = AerosolDistribution(modes=(mode,))
+        bench_press(
+            lambda T, p, w, qt: AA.total_N_activated(
+                ap, ad, aip, TPS, T, p, w, qt, 0.0, 0.0),
+            (full(285.0), full(9e4), full(0.5), full(8e-3)), 10 * MS,
+            name="arg_activation")
+
+
+class TestColumnBudget:
+    def test_step_column_1m(self):
+        from cloudmicrophysics_tpu.models.column import (
+            ColumnState,
+            step_column_1m,
+        )
+
+        mp = cm.parameters.microphysics_1m_params()
+        tv = cm.parameters.terminal_velocity_params()
+        ncol, nlev = 128, 32
+        c = lambda v: jnp.full((ncol, nlev), v, F)
+        state = ColumnState(rho=c(1.1), T=c(278.0), q_tot=c(5e-3),
+                            q_lcl=c(1e-3), q_icl=c(1e-4), q_rai=c(1e-4),
+                            q_sno=c(1e-5))
+        bench_press(
+            lambda s: step_column_1m(s, mp, TPS, tv, F(1.0), F(100.0)),
+            (state,), 20 * MS, name="step_column_1m")
