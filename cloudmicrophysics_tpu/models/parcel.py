@@ -71,8 +71,8 @@ class ParcelParams:
     deposition: str = static_field("None")        # None|MohlerAF|MohlerRate|ABDINM|P3_dep
     heterogeneous: str = static_field("None")     # None|ABIFM|P3_het|Frostenberg_{mean,random,stochastic}
     homogeneous: str = static_field("None")       # None|ABHOM|P3_hom
-    condensation_growth: str = static_field("None")   # None|Condensation
-    deposition_growth: str = static_field("None")     # None|Deposition
+    condensation_growth: str = static_field("None")   # None|Condensation|NonEq_Condensation[_simple]
+    deposition_growth: str = static_field("None")     # None|Deposition|NonEq_Deposition[_simple]
     liq_size_distribution: str = static_field("Monodisperse")  # Monodisperse|Gamma
     ice_size_distribution: str = static_field("Monodisperse")
 
@@ -90,6 +90,7 @@ class ParcelParams:
     A_aer: float = 1e-9
     sampling_interval: float = 1.0
     gamma: float = 1.0              # OU inverse timescale
+    noneq_tau: float = 10.0         # NonEq growth relaxation timescale [s]
     N_aer_act: float = 1e8          # AeroAct mode number
 
 
@@ -288,6 +289,32 @@ def parcel_tendencies(params: ParcelParams, y: ParcelState, t,
             raw > 0,
             jnp.minimum(raw, _limit(q_vap, dt_step)),
             -jnp.minimum(jnp.abs(raw), _limit(q_liq, dt_step)))
+    elif params.condensation_growth == "NonEq_Condensation_simple":
+        # (S_l q_v - q_v - q_l)/tau (reference ParcelTendencies.jl:234-246)
+        q_sat_liq = jnp.maximum(S_l * q_vap - q_vap, zero)
+        dq_liq_ce = (q_sat_liq - q_liq) / params.noneq_tau
+    elif params.condensation_growth == "NonEq_Condensation":
+        # Morrison-Grabowski Gamma-corrected relaxation
+        # (reference ParcelTendencies.jl:248-276)
+        from ..ops.noneq import (
+            _relaxation_tendency,
+            dqcld_dT,
+            gamma_helper,
+        )
+
+        q_t = q_vap + q_liq + q_ice
+        Lv = TDI.latent_heat_vapor(tps, T)
+        cp_air = TDI.cp_m(tps, q_t, q_liq, q_ice)
+        qv_sat = TDI.saturation_vapor_specific_content_over_liquid(
+            tps, T, rho_air)
+        Gam = gamma_helper(Lv, cp_air, dqcld_dT(qv_sat, Lv, tps.R_v, T))
+        raw = _relaxation_tendency(q_vap - qv_sat, q_liq,
+                                   params.noneq_tau * Gam,
+                                   params.noneq_tau * Gam)
+        dq_liq_ce = jnp.where(
+            raw > 0,
+            jnp.minimum(raw, _limit(q_vap, dt_step)),
+            -jnp.minimum(jnp.abs(raw), _limit(q_liq, dt_step)))
     else:
         raise ValueError(
             f"unknown condensation growth {params.condensation_growth!r}")
@@ -301,6 +328,38 @@ def parcel_tendencies(params: ParcelParams, y: ParcelState, t,
     elif params.deposition_growth == "Deposition":
         G_i = CMO.G_func_ice(aps, tps, T)
         raw = 4 * PI / rho_air * (S_i - 1) * G_i * r_ice * N_ice
+        dq_ice_ds = jnp.where(
+            raw > 0,
+            jnp.minimum(raw, _limit(q_vap, dt_step)),
+            -jnp.minimum(jnp.abs(raw), _limit(q_ice, dt_step)))
+    elif params.deposition_growth == "NonEq_Deposition_simple":
+        # (S_i q_v - q_v - q_i)/tau (reference ParcelTendencies.jl:298-312)
+        q_sat_ice = jnp.maximum(S_i * q_vap - q_vap, zero)
+        dq_ice_ds = (q_sat_ice - q_ice) / params.noneq_tau
+    elif params.deposition_growth == "NonEq_Deposition":
+        # Gamma-corrected relaxation with the Frostenberg
+        # temperature-dependent deposition timescale
+        # (reference ParcelTendencies.jl:314-352)
+        from ..ops.noneq import (
+            _relaxation_tendency,
+            dqcld_dT,
+            gamma_helper,
+            tau_relax_frostenberg,
+        )
+        from ..parameters.m1 import cloud_ice as _cloud_ice
+
+        q_t = q_vap + q_liq + q_ice
+        Ls = TDI.latent_heat_sublim(tps, T)
+        cp_air = TDI.cp_m(tps, q_t, q_liq, q_ice)
+        qvi_sat = TDI.saturation_vapor_specific_content_over_ice(
+            tps, T, rho_air)
+        Gam_i = gamma_helper(Ls, cp_air, dqcld_dT(qvi_sat, Ls, tps.R_v, T))
+        tau_dep = tau_relax_frostenberg(_cloud_ice(), aps, params.ip,
+                                        q_ice, T)
+        raw = _relaxation_tendency(q_vap - qvi_sat, q_ice,
+                                   tau_dep * Gam_i,
+                                   params.noneq_tau * Gam_i)
+        raw = jnp.where((T > tps.T_freeze) & (raw > 0), zero, raw)
         dq_ice_ds = jnp.where(
             raw > 0,
             jnp.minimum(raw, _limit(q_vap, dt_step)),

@@ -51,8 +51,11 @@ class Koop2000:
     c2: float = 8502.0
     c3: float = 26924.0
     c4: float = 29180.0
-    linear_c1: float = -10.8106
-    linear_c2: float = 34.8951
+    # least-squares fit of log10(J_cubic [cm^-3 s^-1]) over
+    # delta_a_w in [0.26, 0.34] step 0.0025 (the reference defines the
+    # linear fit this way: docs/src/plots/linear_HOM_J.jl:20-24)
+    linear_c1: float = -68.553270833333
+    linear_c2: float = 255.9271249999988
 
 
 @paramclass
