@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-__all__ = ["EKIResult", "eki_calibrate", "calibrate_abifm"]
+__all__ = ["EKIResult", "eki_calibrate", "uki_calibrate", "calibrate_abifm"]
 
 
 class EKIResult(NamedTuple):
@@ -85,10 +85,72 @@ def eki_calibrate(
                      errors=jnp.asarray(errors), iterations=n_iterations)
 
 
+def uki_calibrate(
+    forward_map: Callable[[Array], Array],
+    prior_mean,
+    prior_std,
+    y_obs,
+    noise_cov,
+    n_iterations: int = 25,
+    alpha_reg: float = 1.0,
+) -> EKIResult:
+    """Unscented Kalman Inversion (Huang, Schneider & Stuart 2022) — the
+    reference's second calibration mode
+    (papers/ice_nucleation_2024/calibration.jl:364-410, ``EKP.Unscented``).
+
+    Deterministic sigma-point ensemble (2p+1 members for p parameters),
+    no sampling noise; ``forward_map`` has the same batched contract as
+    :func:`eki_calibrate`. With ``alpha_reg < 1`` the prior regularizes
+    each prediction step."""
+    prior_mean = jnp.asarray(prior_mean, jnp.float64)
+    prior_std = jnp.asarray(prior_std, jnp.float64)
+    y_obs = jnp.asarray(y_obs, jnp.float64)
+    Gamma = jnp.asarray(noise_cov, jnp.float64)
+    p = prior_mean.shape[0]
+
+    r = prior_mean
+    C0 = jnp.diag(prior_std**2)
+    m, C = prior_mean, C0
+    Sigma_nu = 2.0 * Gamma
+    Sigma_omega = max(2.0 - alpha_reg**2, 0.0) * C0
+
+    # unscented weights (kappa = 0, standard symmetric set, a = 1/sqrt(p+l))
+    lam = 1.0
+    w0 = lam / (p + lam)
+    wj = 1.0 / (2 * (p + lam))
+    weights = jnp.concatenate([jnp.asarray([w0]), jnp.full((2 * p,), wj)])
+
+    errors = []
+    theta = None
+    for _ in range(n_iterations):
+        # prediction
+        m_hat = r + alpha_reg * (m - r)
+        C_hat = alpha_reg**2 * C + Sigma_omega
+        # sigma points: m_hat, m_hat +- sqrt((p+lam) C_hat) columns
+        L = jnp.linalg.cholesky((p + lam) * C_hat
+                                + 1e-12 * jnp.eye(p))
+        theta = jnp.concatenate(
+            [m_hat[None, :], m_hat[None, :] + L.T, m_hat[None, :] - L.T],
+            axis=0)                                     # (2p+1, p)
+        g = jnp.asarray(forward_map(theta), jnp.float64)  # (2p+1, n_obs)
+        y_hat = weights @ g
+        dth = theta - m_hat
+        dg = g - y_hat
+        C_ty = (dth * weights[:, None]).T @ dg
+        C_yy = (dg * weights[:, None]).T @ dg + Sigma_nu
+        K = C_ty @ jnp.linalg.solve(C_yy, jnp.eye(C_yy.shape[0]))
+        m = m_hat + K @ (y_obs - y_hat)
+        C = C_hat - K @ C_ty.T
+        errors.append(float(jnp.sum((y_hat - y_obs) ** 2)))
+
+    return EKIResult(theta=m, ensemble=theta.T,
+                     errors=jnp.asarray(errors), iterations=n_iterations)
+
+
 def calibrate_abifm(ic, t_end, parcel_kwargs, y_obs, noise_std=0.05,
                     prior_mean=(40.0, -6.0), prior_std=(15.0, 5.0),
                     n_ensemble=25, n_iterations=8, observable="frozen_frac",
-                    n_obs_times=5):
+                    n_obs_times=5, method="EKI"):
     """Calibrate ABIFM ``(m, c)`` against observed frozen fractions from a
     parcel simulation — the reference's ice_nucleation_2024 workflow with
     the parcel ensemble as one vmapped forward map."""
@@ -113,5 +175,8 @@ def calibrate_abifm(ic, t_end, parcel_kwargs, y_obs, noise_std=0.05,
     forward = jax.jit(jax.vmap(single))
     n_obs = len(y_obs)
     noise_cov = np.eye(n_obs) * noise_std**2
+    if method == "UKI":
+        return uki_calibrate(forward, prior_mean, prior_std, y_obs,
+                             noise_cov, n_iterations=n_iterations)
     return eki_calibrate(forward, prior_mean, prior_std, y_obs, noise_cov,
                          n_ensemble=n_ensemble, n_iterations=n_iterations)

@@ -28,3 +28,4 @@ from .quadrature import (
     integrate_segments,
 )
 from .show import field_units, show_params
+from .artifacts import AIDA_ice_nucleation, ArtifactMissingError, artifacts_dir

@@ -151,3 +151,67 @@ class TestP3Sandbox:
         assert 0 < growth < 1e3
         D_th, D_gr, D_cr, rho_g = thresholds
         assert float(D_th) < float(D_gr) < float(D_cr)
+
+
+class TestUKI:
+    def test_linear_recovery(self):
+        # UKI recovers a linear map with a deterministic sigma-point
+        # ensemble (2p+1 = 5 members)
+        A = jnp.asarray(np.random.default_rng(3).normal(size=(6, 2)))
+        theta_true = jnp.asarray([2.0, -1.5])
+        y = A @ theta_true
+
+        res = CAL.uki_calibrate(lambda t: t @ A.T, [0.0, 0.0], [2.0, 2.0],
+                                y, np.eye(6) * 1e-6, n_iterations=15)
+        np.testing.assert_allclose(np.asarray(res.theta), [2.0, -1.5],
+                                   atol=0.02)
+        assert res.ensemble.shape == (2, 5)
+        assert float(res.errors[-1]) < float(res.errors[0])
+
+    def test_abifm_uki_route(self):
+        # the UKI route through calibrate_abifm runs and reduces misfit
+        import dataclasses
+
+        from cloudmicrophysics_tpu.parameters.aerosol_species import Illite
+
+        T0, p0, Nl, r0 = 251.0, 80000.0, 1e8, 1e-6
+        e = float(TDI.saturation_vapor_pressure_over_liquid(TPS, F(T0)))
+        md = (p0 - e) / TPS.R_d / T0
+        mv = e / TPS.R_v / T0
+        ml = Nl * 4 / 3 * np.pi * 1000 * r0**3
+        ic = PM.ParcelState(
+            S_l=F(1.0), p_air=F(p0), T=F(T0), q_vap=F(mv / (md + mv + ml)),
+            q_liq=F(ml / (md + mv + ml)), q_ice=F(0.0), N_aer=F(0.0),
+            N_liq=F(Nl), N_ice=F(0.0), ln_inpc=F(0.0))
+        kwargs = dict(heterogeneous="ABIFM",
+                      condensation_growth="Condensation",
+                      const_dt=1.0, w=0.5)
+        aerosol = dataclasses.replace(Illite(), ABIFM_m=54.48,
+                                      ABIFM_c=-10.67)
+        traj = PM.run_parcel(ic, 0.0, 60.0,
+                             PM.parcel_params(aerosol=aerosol, **kwargs))
+        frozen = np.asarray(traj.N_ice / np.maximum(
+            np.asarray(traj.N_liq + traj.N_ice), 1.0))
+        idx = np.linspace(0, len(frozen) - 1, 5).astype(int)
+        res = CAL.calibrate_abifm(
+            ic, 60.0, kwargs, frozen[idx], noise_std=0.02,
+            prior_mean=(50.0, -9.0), prior_std=(8.0, 2.0),
+            n_iterations=8, method="UKI")
+        assert float(res.errors[-1]) <= float(res.errors[0])
+
+
+class TestArtifacts:
+    def test_missing_artifact_error(self, tmp_path, monkeypatch):
+        from cloudmicrophysics_tpu.utils import (
+            AIDA_ice_nucleation,
+            ArtifactMissingError,
+        )
+
+        monkeypatch.setenv("CMT_ARTIFACTS_DIR", str(tmp_path))
+        with pytest.raises(ArtifactMissingError, match="no network egress"):
+            AIDA_ice_nucleation("in05_17_aida.edf")
+        # present file resolves
+        d = tmp_path / "AIDA_ice_nucleation"
+        d.mkdir()
+        (d / "in05_17_aida.edf").write_text("data")
+        assert AIDA_ice_nucleation("in05_17_aida.edf").read_text() == "data"
