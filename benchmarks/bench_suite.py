@@ -60,6 +60,26 @@ def main():
     jit1 = jax.jit(step1)
     results.append(("1m_step", _throughput(jit1, (state1,), N), N))
 
+    # --- same step as an explicit Pallas kernel (TPU only) ---
+    if jax.devices()[0].platform == "tpu":
+        from cloudmicrophysics_tpu.kernels import step_column_1m_pallas
+        from cloudmicrophysics_tpu.parameters import (
+            ThermodynamicsParameters,
+            microphysics_1m_params,
+            terminal_velocity_params,
+        )
+
+        mp1 = microphysics_1m_params()
+        tps1 = ThermodynamicsParameters()
+        tv1 = terminal_velocity_params()
+        bc = 256
+        while args_cli.n % bc:
+            bc //= 2
+        jit1p = jax.jit(lambda s: step_column_1m_pallas(
+            s, mp1, tps1, tv1, 1.0, 100.0, block_cols=bc))
+        results.append(("1m_step_pallas", _throughput(jit1p, (state1,), N),
+                        N))
+
     # --- 2M warm rain ---
     mp2 = cm.parameters.microphysics_2m_params()
     jit2 = jax.jit(lambda rho, T, qt, ql, nl, qr, nr: bulk_tendencies_2m(

@@ -1,0 +1,68 @@
+"""Pallas kernel tests (CPU interpret mode).
+
+The kernels re-invoke the same jnp physics on VMEM tiles, so the test
+contract is bit-level-close agreement with the XLA-fused reference path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudmicrophysics_tpu.kernels import step_column_1m_pallas
+from cloudmicrophysics_tpu.models.column import ColumnState, step_column_1m
+from cloudmicrophysics_tpu.parameters import (
+    ThermodynamicsParameters,
+    microphysics_1m_params,
+    terminal_velocity_params,
+)
+
+MP = microphysics_1m_params()
+TPS = ThermodynamicsParameters()
+TV = terminal_velocity_params()
+
+
+def _state(ncol, nlev, dtype):
+    rng = np.random.default_rng(7)
+    shape = (ncol, nlev)
+    return ColumnState(
+        rho=jnp.asarray(np.linspace(1.2, 0.4, nlev)[None, :]
+                        * np.ones((ncol, 1)), dtype),
+        T=jnp.asarray(np.linspace(300.0, 230.0, nlev)[None, :]
+                      * np.ones((ncol, 1)), dtype),
+        q_tot=jnp.asarray(1e-2 * rng.random(shape), dtype),
+        q_lcl=jnp.asarray(1e-3 * rng.random(shape), dtype),
+        q_icl=jnp.asarray(5e-4 * rng.random(shape), dtype),
+        q_rai=jnp.asarray(5e-4 * rng.random(shape), dtype),
+        q_sno=jnp.asarray(5e-4 * rng.random(shape), dtype),
+    )
+
+
+class TestColumn1MPallas:
+    def test_matches_xla_fused_path(self):
+        state = _state(256, 32, jnp.float32)
+        ref = step_column_1m(state, MP, TPS, TV, 1.0, 100.0)
+        out = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
+                                    block_cols=64, interpret=True)
+        for name in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)), rtol=2e-5, atol=2e-9,
+                err_msg=name)
+
+    def test_block_independence(self):
+        # different tilings give the same answer (columns are independent;
+        # the level axis stays whole)
+        state = _state(128, 16, jnp.float32)
+        a = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
+                                  block_cols=128, interpret=True)
+        b = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
+                                  block_cols=32, interpret=True)
+        for name in a._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                          np.asarray(getattr(b, name)))
+
+    def test_bad_tiling_raises(self):
+        state = _state(100, 16, jnp.float32)
+        with pytest.raises(ValueError, match="not a multiple"):
+            step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
+                                  block_cols=64, interpret=True)
