@@ -33,8 +33,8 @@ from ..parameters.thermodynamics import ThermodynamicsParameters
 from ..ops.states import MicroState, ThermoState
 from . import tendencies as BMT
 
-__all__ = ["ColumnState", "sedimentation_tendency", "step_column_1m",
-           "surface_precip_rate"]
+__all__ = ["ColumnState", "ColumnState2M", "sedimentation_tendency",
+           "step_column_1m", "step_column_2m", "surface_precip_rate"]
 
 
 class ColumnState(NamedTuple):
@@ -143,3 +143,56 @@ def step_column_1m(
         q_lcl=clamp(q_lcl), q_icl=clamp(q_icl),
         q_rai=clamp(q_rai), q_sno=clamp(q_sno),
     )
+
+
+class ColumnState2M(NamedTuple):
+    """2-moment prognostic column; every field is ``(ncol, nlev)``."""
+
+    rho: Array
+    T: Array
+    q_tot: Array
+    q_lcl: Array
+    n_lcl: Array   # specific droplet number [1/kg]
+    q_rai: Array
+    n_rai: Array
+
+
+def step_column_2m(state: "ColumnState2M", mp, tps: ThermodynamicsParameters,
+                   dt, dz) -> "ColumnState2M":
+    """One explicit Euler step of the SB2006 warm-rain column: fused
+    process rates + number- and mass-weighted rain sedimentation
+    (the 2M analog of :func:`step_column_1m`; velocities per reference
+    src/Microphysics2M.jl:685-739, applied in the host-model upwind flux).
+    """
+    from ..ops import m2 as CM2
+
+    sb = mp.warm_rain.seifert_beheng
+    rates = BMT.bulk_tendencies_2m(
+        mp, tps, state.rho, state.T, state.q_tot, state.q_lcl, state.n_lcl,
+        state.q_rai, state.n_rai)
+
+    N_rai = state.n_rai * state.rho
+    vt_n, vt_m = CM2.rain_terminal_velocity(sb, _chen_or_sb(mp),
+                                            state.q_rai, state.rho, N_rai)
+    sed_q_rai = sedimentation_tendency(state.rho, state.q_rai, vt_m, dz)
+    sed_n_rai = sedimentation_tendency(state.rho, state.n_rai, vt_n, dz)
+
+    clamp = lambda q: jnp.maximum(q, jnp.zeros_like(q))
+    Lv_over_cp = tps.LH_v0 / tps.cp_d
+    T_new = state.T + dt * Lv_over_cp * (rates.dq_lcl_dt + rates.dq_rai_dt)
+    return ColumnState2M(
+        rho=state.rho, T=T_new,
+        q_tot=clamp(state.q_tot + dt * sed_q_rai),
+        q_lcl=clamp(state.q_lcl + dt * rates.dq_lcl_dt),
+        n_lcl=clamp(state.n_lcl + dt * rates.dn_lcl_dt),
+        q_rai=clamp(state.q_rai + dt * (rates.dq_rai_dt + sed_q_rai)),
+        n_rai=clamp(state.n_rai + dt * (rates.dn_rai_dt + sed_n_rai)),
+    )
+
+
+def _chen_or_sb(mp):
+    """Rain fall-speed parameterization for the 2M column: SB2006
+    Rogers-type by default."""
+    from ..parameters.terminal_velocity import SB2006VelType
+
+    return SB2006VelType()

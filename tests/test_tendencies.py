@@ -265,3 +265,36 @@ class TestGraftEntry:
         import __graft_entry__ as GE
 
         GE.dryrun_multichip(8)
+
+
+class TestColumn2M:
+    def test_step_column_2m_conserves_and_rains(self):
+        import numpy as np
+
+        from cloudmicrophysics_tpu.models.column import (
+            ColumnState2M,
+            step_column_2m,
+        )
+        from cloudmicrophysics_tpu.parameters import (
+            ThermodynamicsParameters,
+            microphysics_2m_params,
+        )
+
+        tps = ThermodynamicsParameters()
+        mp = microphysics_2m_params()
+        ncol, nlev = 4, 16
+        f = lambda v: jnp.full((ncol, nlev), v, jnp.float64)
+        st = ColumnState2M(rho=f(1.1), T=f(288.0), q_tot=f(7e-3),
+                           q_lcl=f(1.5e-3), n_lcl=f(9e7),
+                           q_rai=f(5e-4), n_rai=f(9e5))
+        out = st
+        for _ in range(20):
+            out = step_column_2m(out, mp, tps, 1.0, 100.0)
+        # autoconversion + accretion moved liquid into rain;
+        # sedimentation moved rain downward (level 0 gains from above)
+        assert float(out.q_rai[0, nlev // 2]) != float(st.q_rai[0, 0])
+        assert float(jnp.min(out.q_lcl)) >= 0
+        assert float(jnp.min(out.n_rai)) >= 0
+        # liquid decreased (acnv+accr), numbers finite
+        assert float(out.q_lcl[0, 5]) < 1.5e-3
+        assert np.isfinite(np.asarray(out.T)).all()
