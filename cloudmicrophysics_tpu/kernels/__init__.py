@@ -7,3 +7,4 @@ controls memory movement (block shape, grid, HBM<->VMEM pipelining).
 """
 
 from .column1m import step_column_1m_pallas
+from .column2m import step_column_2m_pallas

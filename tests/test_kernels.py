@@ -66,3 +66,27 @@ class TestColumn1MPallas:
         with pytest.raises(ValueError, match="not a multiple"):
             step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
                                   block_cols=64, interpret=True)
+
+
+class TestColumn2MPallas:
+    def test_matches_xla_fused_path(self):
+        from cloudmicrophysics_tpu.kernels import step_column_2m_pallas
+        from cloudmicrophysics_tpu.models.column import (
+            ColumnState2M,
+            step_column_2m,
+        )
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        mp = microphysics_2m_params()
+        f = lambda v: jnp.full((128, 24), v, jnp.float32)
+        st = ColumnState2M(rho=f(1.1), T=f(288.0), q_tot=f(6e-3),
+                           q_lcl=f(1e-3), n_lcl=f(9e7), q_rai=f(5e-4),
+                           n_rai=f(9e5))
+        ref = step_column_2m(st, mp, TPS, 1.0, 100.0)
+        out = step_column_2m_pallas(st, mp, TPS, 1.0, 100.0,
+                                    block_cols=32, interpret=True)
+        for name in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)), rtol=2e-5, atol=1e-8,
+                err_msg=name)
