@@ -77,6 +77,7 @@ __all__ = [
     "logLdivN",
     "get_logN0",
     "get_distribution_loglambda",
+    "get_distribution_loglambda_all_solutions",
     "integral_bounds",
     "D_m",
     "ice_particle_terminal_velocity",
@@ -625,3 +626,36 @@ def ice_terminal_velocity_mass_weighted(
         quad = default_quadrature()
     return _weighted_velocity(velocity_params, rho_a, state, loglambda, p,
                               quad, mass_weighted=True)
+
+
+def get_distribution_loglambda_all_solutions(state: P3State,
+                                             n_scan: int = 401):
+    """All candidate ``loglambda`` roots of the shape problem
+    (reference src/P3_size_distribution.jl:365-384; experimental — only
+    the SlopePowerLaw mu(lambda) law can be multi-rooted).
+
+    XLA-native variant of the reference's host-side sign-change scan:
+    ``logLdivN`` is evaluated on a static ``n_scan``-point grid over
+    ``lambda in [1e2, 1e6]``; the fixed-iteration Brent solver then runs
+    on EVERY adjacent pair, with non-bracketing pairs masked to NaN.
+    Returns a ``(n_scan - 1,)`` array of roots (NaN where no sign change).
+    """
+    dt = float_dtype(state.rho_q_ice, state.rho_n_ice)
+    q_safe = jnp.maximum(state.rho_q_ice,
+                         jnp.asarray(jnp.finfo(dt).tiny, dt))
+    n_safe = jnp.maximum(state.rho_n_ice,
+                         jnp.asarray(jnp.finfo(dt).tiny, dt))
+    target = jnp.log(q_safe) - jnp.log(n_safe)
+
+    grid = jnp.asarray(
+        jnp.log(10.0) * jnp.linspace(2.0, 6.0, n_scan), dt)
+    import jax
+
+    f = jax.vmap(lambda ll: logLdivN(state, ll) - target)(grid)
+    lo, hi = grid[:-1], grid[1:]
+    bracketed = f[:-1] * f[1:] < 0
+
+    roots = jax.vmap(
+        lambda a, b: get_distribution_loglambda(
+            state, loglambda_min=a, loglambda_max=b))(lo, hi)
+    return jnp.where(bracketed, roots, jnp.full_like(roots, jnp.nan))

@@ -333,3 +333,21 @@ class TestJitVmap:
         vms = np.asarray(vm)
         assert vms[-1] > 5 * vms[0]
         assert np.mean(np.diff(vms) > 0) > 0.8
+
+
+class TestAllSolutions:
+    def test_scan_finds_primary_root(self):
+        import numpy as np
+
+        p3 = parameters_p3()
+        F = jnp.float64
+        st = P3.state_from_prognostic(p3, F(1.1e-4), F(1.1e5),
+                                      F(3.3e-5), F(3.3e-5 / 400))
+        roots = np.asarray(P3.get_distribution_loglambda_all_solutions(st))
+        finite = roots[np.isfinite(roots)]
+        assert len(finite) >= 1
+        target = float(jnp.log(st.rho_q_ice) - jnp.log(st.rho_n_ice))
+        for r in finite:
+            assert abs(float(P3.logLdivN(st, F(r))) - target) < 1e-8
+        primary = float(P3.get_distribution_loglambda(st))
+        assert np.min(np.abs(finite - primary)) < 1e-3
