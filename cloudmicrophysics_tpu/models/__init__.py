@@ -7,6 +7,7 @@ from .column import ColumnState, step_column_1m
 from .parcel import ParcelParams, ParcelState, parcel_params, run_parcel
 from .tendencies import (
     SourceTerms1M,
+    bulk_microphysics_tendencies,
     Tendencies1M,
     Tendencies2M,
     bulk_tendencies_0m,

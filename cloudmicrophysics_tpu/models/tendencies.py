@@ -527,3 +527,29 @@ def bulk_tendencies_2m(mp, tps: TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai,
         q_ice, n_ice, q_rim, b_rim, log_lambda, inpc_log_shift,
         warm=(dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt),
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-entry dispatch (reference src/BulkMicrophysicsTendencies.jl:38-46:
+# bulk_microphysics_tendencies(::MicrophysicsScheme, ...)). The scheme is
+# selected by the parameter-container type, mirroring Julia singleton
+# dispatch with Python types as the static key.
+# ---------------------------------------------------------------------------
+
+def bulk_microphysics_tendencies(mp, tps, *args, **kwargs):
+    """Scheme-dispatching fused tendency entry point.
+
+    ``mp`` selects the scheme: ``Microphysics0MParams`` -> 0M,
+    ``Microphysics1MParams`` -> 1M (kwargs: mode/dt/nsub),
+    ``Microphysics2MParams`` -> 2M warm rain (+P3 when ``mp.ice`` set).
+    """
+    from ..parameters.m2 import Microphysics2MParams
+
+    if isinstance(mp, Microphysics0MParams):
+        return bulk_tendencies_0m(mp, tps, *args, **kwargs)
+    if isinstance(mp, Microphysics1MParams):
+        return bulk_tendencies_1m(mp, tps, *args, **kwargs)
+    if isinstance(mp, Microphysics2MParams):
+        return bulk_tendencies_2m(mp, tps, *args, **kwargs)
+    raise TypeError(
+        f"no microphysics scheme for parameter type {type(mp).__name__}")
