@@ -1,6 +1,6 @@
 """Model layer (L5/L6): fused tendency API + drivers."""
 
-from . import box, calibration, column, emulator, p3_sandbox, parcel, tendencies
+from . import aida, box, calibration, column, emulator, p3_sandbox, parcel, tendencies
 from .calibration import EKIResult, calibrate_abifm, eki_calibrate, uki_calibrate
 from .p3_sandbox import P3SandboxState, run_p3_sandbox
 from .column import ColumnState, step_column_1m

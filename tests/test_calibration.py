@@ -215,3 +215,52 @@ class TestArtifacts:
         d.mkdir()
         (d / "in05_17_aida.edf").write_text("data")
         assert AIDA_ice_nucleation("in05_17_aida.edf").read_text() == "data"
+
+
+class TestAIDA:
+    def test_synthetic_chamber_calibration(self, tmp_path):
+        # perfect-model through the AIDA file workflow: synthesize an .edf
+        # from a known-parameter parcel run, then recover the freezing
+        # behavior from the file
+        import dataclasses
+
+        from cloudmicrophysics_tpu.models.aida import (
+            aida_observations,
+            calibrate_abifm_aida,
+            unpack_aida_edf,
+        )
+        from cloudmicrophysics_tpu.parameters.aerosol_species import Illite
+
+        T0, p0, Nl, rl = 251.0, 80000.0, 1e8, 1e-6
+        e0 = float(TDI.saturation_vapor_pressure_over_liquid(TPS, F(T0)))
+        md = (p0 - e0) / TPS.R_d / T0
+        mv = e0 / TPS.R_v / T0
+        ml = Nl * 4 / 3 * np.pi * 1000 * rl**3
+        ic = PM.ParcelState(
+            S_l=F(1.0), p_air=F(p0), T=F(T0), q_vap=F(mv / (md + mv + ml)),
+            q_liq=F(ml / (md + mv + ml)), q_ice=F(0.0), N_aer=F(0.0),
+            N_liq=F(Nl), N_ice=F(0.0), ln_inpc=F(0.0))
+        params = PM.parcel_params(
+            aerosol=Illite(), heterogeneous="ABIFM",
+            condensation_growth="Condensation", const_dt=1.0, w=0.5)
+        traj = PM.run_parcel(ic, 0.0, 120.0, params)
+
+        edf = tmp_path / "synth.edf"
+        lines = ["# header"] * 225
+        for i in range(121):
+            lines.append(
+                f"{float(i):.1f} {float(traj.p_air[i]) / 100:.3f} "
+                f"{float(traj.T[i]):.3f} {e0:.3f} 0 "
+                f"{float(traj.N_ice[i]) / 1e6:.6e}")
+        edf.write_text("\n".join(lines) + "\n")
+
+        prof = unpack_aida_edf(edf)
+        assert prof.P[0] == pytest.approx(p0)
+        obs = aida_observations(prof, 0.0, 120.0, 1e8, n_obs=5)
+        assert obs[-1] > obs[0] >= 0
+
+        res = calibrate_abifm_aida(
+            prof, 0.0, 120.0, 1e8, Nl, rl, noise_std=0.02,
+            prior_mean=(50.0, -9.0), prior_std=(8.0, 2.0),
+            n_ensemble=20, n_iterations=6)
+        assert float(res.errors[-1]) < 1e-3 * float(res.errors[0])
