@@ -50,7 +50,24 @@ def main():
     F = jnp.float32
     N = args_cli.n * args_cli.nlev
     f = lambda v: jnp.full((N,), v, F)
-    results = []
+
+    dev = jax.devices()[0].platform
+
+    class _Results(list):
+        # print each line as it lands so a late-kernel failure still
+        # leaves the earlier numbers on stdout
+        def append(self, item):
+            name, v, n_pts = item
+            print(json.dumps({
+                "metric": f"{name} throughput",
+                "value": float(f"{v:.4g}"),
+                "unit": "grid-points/s" if name != "parcel" else "steps/s",
+                "batch": n_pts,
+                "device": dev,
+            }), flush=True)
+            super().append(item)
+
+    results = _Results()
 
     # --- 1M fused step (same kernel as bench.py) ---
     from __graft_entry__ import _build
@@ -99,6 +116,39 @@ def main():
           f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400))
     results.append(("2m_p3", _throughput(jit3, a3, n3, n_iter=10), n3))
 
+    # --- full P3 column step (shape solve + processes + sedimentation) ---
+    from cloudmicrophysics_tpu.models.column import (
+        ColumnStateP3,
+        step_column_p3,
+    )
+
+    ncol3, nlev3 = max(args_cli.n // 16, 64), args_cli.nlev
+    fc = lambda v: jnp.full((ncol3, nlev3), v, F)
+    st3 = ColumnStateP3(rho=fc(1.1), T=fc(263.0), q_tot=fc(6e-3),
+                        q_lcl=fc(1e-3), n_lcl=fc(9e7), q_rai=fc(5e-4),
+                        n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
+                        q_rim=fc(1e-4), b_rim=fc(2e-7))
+    jit3c = jax.jit(
+        lambda s, g: step_column_p3(s, mp3, tps, 1.0, 100.0, g))
+    _, loglam0 = jit3c(st3, None)
+    jax.block_until_ready(loglam0)
+    n3c = ncol3 * nlev3
+    results.append(("p3_column_step",
+                    _throughput(jit3c, (st3, loglam0), n3c, n_iter=10),
+                    n3c))
+
+    if jax.devices()[0].platform == "tpu":
+        from cloudmicrophysics_tpu.kernels import step_column_p3_pallas
+
+        bc3 = 128
+        while ncol3 % bc3:
+            bc3 //= 2
+        jit3p = jax.jit(lambda s, g: step_column_p3_pallas(
+            s, mp3, tps, 1.0, 100.0, loglambda_guess=g, block_cols=bc3))
+        results.append(("p3_column_step_pallas",
+                        _throughput(jit3p, (st3, loglam0), n3c, n_iter=10),
+                        n3c))
+
     # --- parcel scan (steps/s; latency-bound) ---
     from cloudmicrophysics_tpu.models import parcel as PM
 
@@ -113,15 +163,6 @@ def main():
     results.append(("parcel", _throughput(run, (ic,), n_steps, n_iter=10),
                     n_steps))
 
-    dev = jax.devices()[0].platform
-    for name, v, n_pts in results:
-        print(json.dumps({
-            "metric": f"{name} throughput",
-            "value": float(f"{v:.4g}"),
-            "unit": "grid-points/s" if name != "parcel" else "steps/s",
-            "batch": n_pts,
-            "device": dev,
-        }))
 
 
 if __name__ == "__main__":

@@ -33,8 +33,9 @@ from ..parameters.thermodynamics import ThermodynamicsParameters
 from ..ops.states import MicroState, ThermoState
 from . import tendencies as BMT
 
-__all__ = ["ColumnState", "ColumnState2M", "sedimentation_tendency",
-           "step_column_1m", "step_column_2m", "surface_precip_rate"]
+__all__ = ["ColumnState", "ColumnState2M", "ColumnStateP3",
+           "sedimentation_tendency", "step_column_1m", "step_column_2m",
+           "step_column_p3", "surface_precip_rate"]
 
 
 class ColumnState(NamedTuple):
@@ -196,3 +197,106 @@ def _chen_or_sb(mp):
     from ..parameters.terminal_velocity import SB2006VelType
 
     return SB2006VelType()
+
+
+class ColumnStateP3(NamedTuple):
+    """2M warm rain + P3 ice prognostic column; fields are ``(ncol, nlev)``.
+
+    Prognostics follow the P3 sandbox + 2M coupling of the reference
+    (``src/BulkMicrophysicsTendencies.jl:898-930``, ``p3_sandbox``): SB2006
+    cloud/rain mass & number plus the four P3 ice variables (ice mass,
+    ice number, rime mass, rime volume), all specific (per kg of air).
+    """
+
+    rho: Array
+    T: Array
+    q_tot: Array
+    q_lcl: Array
+    n_lcl: Array
+    q_rai: Array
+    n_rai: Array
+    q_ice: Array   # total ice specific content [kg/kg]
+    n_ice: Array   # ice specific number [1/kg]
+    q_rim: Array   # rime mass [kg/kg]
+    b_rim: Array   # rime volume [m^3/kg]
+
+
+def step_column_p3(state: "ColumnStateP3", mp, tps: ThermodynamicsParameters,
+                   dt, dz, loglambda_guess=None):
+    """One explicit Euler step of the full 2M warm rain + P3 ice column.
+
+    Per step: (1) solve the P3 PSD slope ``log lambda`` per cell (fixed-
+    iteration Brent, warm-startable from the previous step — the
+    substepping semantics of reference ``src/P3_size_distribution.jl:284``,
+    with the solve held out of AD exactly as the reference's tests pin,
+    ``test/ad_compat_tests.jl:16-19``); (2) fused 2M+P3 process rates;
+    (3) upwind sedimentation with number-/mass-weighted fall speeds for
+    rain (SB2006) and ice (P3 quadrature, Chen2022 + aspect ratio).
+
+    Returns ``(new_state, loglambda)`` so the host can warm-start the
+    next step's shape solve.
+    """
+    import jax
+
+    from ..ops import m2 as CM2
+    from ..ops import p3 as P3
+
+    ice = mp.ice
+    sb = mp.warm_rain.seifert_beheng
+    rho = state.rho
+
+    L_ice = state.q_ice * rho
+    N_ice = state.n_ice * rho
+    L_rim = state.q_rim * rho
+    B_rim = state.b_rim * rho
+    pstate = P3.state_from_prognostic(ice.scheme, L_ice, N_ice, L_rim, B_rim)
+    loglam = jax.lax.stop_gradient(
+        P3.get_distribution_loglambda(pstate, loglambda_guess))
+
+    rates = BMT.bulk_tendencies_2m(
+        mp, tps, rho, state.T, state.q_tot, state.q_lcl, state.n_lcl,
+        state.q_rai, state.n_rai, state.q_ice, state.n_ice,
+        state.q_rim, state.b_rim, loglam)
+
+    # rain sedimentation (SB2006 number/mass-weighted fall speeds)
+    vt_n_rai, vt_m_rai = CM2.rain_terminal_velocity(
+        sb, _chen_or_sb(mp), state.q_rai, rho, state.n_rai * rho)
+    sed_q_rai = sedimentation_tendency(rho, state.q_rai, vt_m_rai, dz)
+    sed_n_rai = sedimentation_tendency(rho, state.n_rai, vt_n_rai, dz)
+
+    # ice sedimentation: P3 bulk fall speeds; rime advects with the bulk
+    # ice mass flux (single-category scheme — all ice falls together)
+    loglam_s = jnp.where(jnp.isfinite(loglam), loglam,
+                         jnp.full_like(loglam, 8.0))
+    vt_n_ice = P3.ice_terminal_velocity_number_weighted(
+        ice.terminal_velocity, rho, pstate, loglam_s, quad=ice.quad)
+    vt_m_ice = P3.ice_terminal_velocity_mass_weighted(
+        ice.terminal_velocity, rho, pstate, loglam_s, quad=ice.quad)
+    sed_q_ice = sedimentation_tendency(rho, state.q_ice, vt_m_ice, dz)
+    sed_n_ice = sedimentation_tendency(rho, state.n_ice, vt_n_ice, dz)
+    sed_q_rim = sedimentation_tendency(rho, state.q_rim, vt_m_ice, dz)
+    sed_b_rim = sedimentation_tendency(rho, state.b_rim, vt_m_ice, dz)
+
+    Lv_over_cp = tps.LH_v0 / tps.cp_d
+    Lf_over_cp = (tps.LH_s0 - tps.LH_v0) / tps.cp_d
+    T_new = state.T + dt * (
+        Lv_over_cp * (rates.dq_lcl_dt + rates.dq_rai_dt + rates.dq_ice_dt)
+        + Lf_over_cp * rates.dq_ice_dt)
+
+    clamp = lambda q: jnp.maximum(q, jnp.zeros_like(q))
+    new = ColumnStateP3(
+        rho=rho, T=T_new,
+        q_tot=clamp(state.q_tot
+                    + dt * (sed_q_rai + sed_q_ice)),
+        q_lcl=clamp(state.q_lcl + dt * rates.dq_lcl_dt),
+        n_lcl=clamp(state.n_lcl + dt * rates.dn_lcl_dt),
+        q_rai=clamp(state.q_rai + dt * (rates.dq_rai_dt + sed_q_rai)),
+        n_rai=clamp(state.n_rai + dt * (rates.dn_rai_dt + sed_n_rai)),
+        q_ice=clamp(state.q_ice + dt * (rates.dq_ice_dt + sed_q_ice)),
+        n_ice=clamp(state.n_ice + dt * (rates.dn_ice_dt + sed_n_ice)),
+        q_rim=clamp(state.q_rim + dt * (rates.dq_rim_dt + sed_q_rim)),
+        b_rim=clamp(state.b_rim + dt * (rates.db_rim_dt + sed_b_rim)),
+    )
+    # rime invariants: q_rim <= q_ice, b_rim consistent
+    new = new._replace(q_rim=jnp.minimum(new.q_rim, new.q_ice))
+    return new, loglam

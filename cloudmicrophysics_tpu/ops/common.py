@@ -17,7 +17,7 @@ from ..parameters.terminal_velocity import (
     Chen2022VelTypeSmallIce,
 )
 from ..parameters.thermodynamics import ThermodynamicsParameters
-from ..utils.special import eps_numerics, fac, float_dtype, lgamma
+from ..utils.special import eps_numerics, expm1, fac, float_dtype, lgamma
 from . import thermo as TDI
 
 __all__ = [
@@ -52,7 +52,7 @@ def _log1mexp(x):
     log2 = jnp.log(jnp.asarray(2.0, dt))
     x_hi = jnp.minimum(x, -jnp.asarray(jnp.finfo(dt).tiny, dt))
     return jnp.where(
-        x > -log2, jnp.log(-jnp.expm1(x_hi)), jnp.log1p(-jnp.exp(x_hi))
+        x > -log2, jnp.log(-expm1(x_hi)), jnp.log1p(-jnp.exp(x_hi))
     )
 
 

@@ -37,9 +37,11 @@ from ..parameters.p3 import (
 from ..parameters.terminal_velocity import Chen2022VelType
 from ..utils.quadrature import QuadratureRule, default_quadrature, integrate_segments
 from ..utils.special import (
+    cbrt,
     eps_numerics_2M_M,
     eps_numerics_2M_N,
     eps_numerics_P3_B,
+    expm1,
     float_dtype,
     gamma_inc,
     lgamma,
@@ -95,7 +97,7 @@ def _exprel1(x):
     dt = float_dtype(x)
     small = jnp.abs(x) < 1e-8
     x_safe = jnp.where(small, jnp.ones_like(x), x)
-    out = jnp.expm1(x_safe) / x_safe
+    out = expm1(x_safe) / x_safe
     return jnp.where(small, 1 + x / 2, out)
 
 
@@ -106,9 +108,12 @@ def _exprel2(x):
     """``(exp(x) - 1 - x) / x^2`` with Taylor fallback for small |x|."""
     small = jnp.abs(x) < 0.2
     x_safe = jnp.where(small, jnp.ones_like(x), x)
-    direct = (jnp.expm1(x_safe) - x_safe) / (x_safe * x_safe)
-    taylor = jnp.polyval(jnp.asarray(_EXPREL2_COEFFS[::-1],
-                                     float_dtype(x)), x)
+    direct = (expm1(x_safe) - x_safe) / (x_safe * x_safe)
+    # Horner over Python-scalar coefficients (an unrolled polyval): keeps
+    # the table out of the jaxpr so Pallas kernels don't capture it.
+    taylor = jnp.zeros_like(x)
+    for c in _EXPREL2_COEFFS[::-1]:
+        taylor = taylor * x + c
     return jnp.where(small, taylor, direct)
 
 
@@ -280,7 +285,7 @@ def aspect_ratio_factor(state: P3State, D):
     """Terminal-velocity aspect-ratio factor: ``cbrt(phi_i)`` for Oblate,
     1 otherwise (reference src/P3_integral_properties.jl functors)."""
     if state.params.aspect_ratio == OBLATE:
-        return jnp.cbrt(phi_i(state, D))
+        return cbrt(phi_i(state, D))
     return jnp.ones_like(jnp.asarray(D))
 
 

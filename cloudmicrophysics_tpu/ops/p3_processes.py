@@ -28,7 +28,12 @@ from jax import Array
 from ..parameters.common import AirProperties
 from ..parameters.thermodynamics import ThermodynamicsParameters
 from ..utils.quadrature import QuadratureRule, default_quadrature
-from ..utils.special import clamp_to_nonneg, float_dtype, machine_eps
+from ..utils.special import (
+    clamp_to_nonneg,
+    float_dtype,
+    in_pallas_trace,
+    machine_eps,
+)
 from . import common as CO
 from . import ice_nucleation as CMI
 from . import m2 as CM2
@@ -54,6 +59,8 @@ def _nodes(quad: QuadratureRule, a, b):
     Returns (x, w_scaled) where summing ``f(x) * w_scaled`` over axis 0
     approximates the integral; invalid (a >= b) windows contribute zero.
     """
+    from ..utils.quadrature import _expand
+
     dt = float_dtype(a, b)
     y_np, w_np = quad.nodes_weights()
     a = jnp.asarray(a, dt)
@@ -61,9 +68,8 @@ def _nodes(quad: QuadratureRule, a, b):
     valid = a < b
     a_s = jnp.where(valid, a, jnp.ones_like(a))
     b_s = jnp.where(valid, b, 2 * jnp.ones_like(b))
-    shape = (-1,) + (1,) * jnp.ndim(a)
-    y = jnp.asarray(y_np, dt).reshape(shape)
-    w = jnp.asarray(w_np, dt).reshape(shape)
+    y = _expand(jnp.asarray(y_np, dt), a)
+    w = _expand(jnp.asarray(w_np, dt), a)
     scale = (b_s - a_s) / 2
     x = scale * y + (a_s + b_s) / 2
     w_scaled = jnp.where(valid, w * scale, jnp.zeros_like(w * scale))
@@ -380,11 +386,10 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
     D_lo, D_hi = bnds[0], bnds[-1]
 
     D1, w1 = _segment_nodes(quad, bnds)        # (n1, *cell)
-    v1 = v_ice(D1)
-    r1 = jnp.sqrt(P3.ice_area(state, D1) / PI)
+    n1_of_D1 = n_i(D1)
 
-    def half(lo, hi):
-        # inner nodes: (n2, n1, *cell); cusp-split halves are smooth
+    def half(r1, v1, lo, hi):
+        # inner nodes get a new leading axis over r1/v1's shape
         D2, w2 = _nodes(quad, lo, hi)
         v2 = v_ice(D2)
         r2 = jnp.sqrt(P3.ice_area(state, D2) / PI)
@@ -392,8 +397,29 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
         integrand = K * jnp.abs(v1[None] - v2) * n_i(D2)
         return jnp.sum(integrand * w2, axis=0)
 
+    if in_pallas_trace():
+        # VMEM-lean: statically-chunked outer axis (Mosaic has neither
+        # dynamic_slice nor bool loop carries, so the chunk loop is a
+        # Python unroll); peak temporaries drop from
+        # (n_inner, n_outer, *cell) to (n_inner, chunk, *cell) while the
+        # trace stays ~n_chunks copies of the integrand graph.
+        n_outer = D1.shape[0]
+        chunk = max(quad.n // 2, 1)
+        total = jnp.zeros_like(loglambda + jnp.asarray(rho_a, dt))
+        for s in range(0, n_outer, chunk):
+            D1_c = D1[s:s + chunk]
+            v1_c = v_ice(D1_c)
+            r1_c = jnp.sqrt(P3.ice_area(state, D1_c) / PI)
+            inner = half(r1_c, v1_c, D_lo + jnp.zeros_like(D1_c), D1_c) \
+                + half(r1_c, v1_c, D1_c, D_hi + jnp.zeros_like(D1_c))
+            total = total + jnp.sum(
+                inner * n1_of_D1[s:s + chunk] * w1[s:s + chunk], axis=0)
+        return 0.5 * total
+
+    v1 = v_ice(D1)
+    r1 = jnp.sqrt(P3.ice_area(state, D1) / PI)
     lo_b = D_lo + jnp.zeros_like(D1)
     hi_b = D_hi + jnp.zeros_like(D1)
-    inner = half(lo_b, D1) + half(D1, hi_b)
-    total = jnp.sum(inner * n_i(D1) * w1, axis=0)
+    inner = half(r1, v1, lo_b, D1) + half(r1, v1, D1, hi_b)
+    total = jnp.sum(inner * n1_of_D1 * w1, axis=0)
     return 0.5 * total

@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils.param import paramclass, static_field
-from ..utils.quadrature import QuadratureRule, build_quadrature
+from ..utils.quadrature import QuadratureRule, build_quadrature, tabulate
 
 
 @paramclass
@@ -125,7 +125,9 @@ class P3IceParams:
     rain_freezing: object          # RainFreezing
     inp_depletion_model: object    # NIceProxyDepletion
     quadrature_order: int = static_field(16)
-    quad: QuadratureRule = static_field(None)
+    # Tabulated (pytree-leaf tables) so the quadrature rides into Pallas
+    # kernels as an operand rather than a captured constant.
+    quad: QuadratureRule = None
 
 
 def p3_ice_params(quadrature_order: int = 16, slope_law: str = "powerlaw",
@@ -147,5 +149,5 @@ def p3_ice_params(quadrature_order: int = 16, slope_law: str = "powerlaw",
         rain_freezing=RainFreezing(),
         inp_depletion_model=NIceProxyDepletion(),
         quadrature_order=quadrature_order,
-        quad=build_quadrature(quadrature_order),
+        quad=tabulate(build_quadrature(quadrature_order)),
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .special import fac, gamma_inc, gamma_inc_inv, lgamma
+from .special import expm1, fac, gamma_inc, gamma_inc_inv, lgamma
 
 __all__ = [
     "generalized_gamma_quantile",
@@ -28,7 +28,7 @@ def log1mexp(x):
     x_hi = jnp.minimum(x, -jnp.finfo(jnp.result_type(x, float)).tiny)
     return jnp.where(
         x > -log2,
-        jnp.log(-jnp.expm1(x_hi)),
+        jnp.log(-expm1(x_hi)),
         jnp.log1p(-jnp.exp(x_hi)),
     )
 

@@ -22,16 +22,19 @@ import dataclasses
 import math
 from typing import Callable, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
     "ChebyshevGauss",
     "GaussLegendre",
+    "Tabulated",
     "build_quadrature",
     "integrate",
     "integrate_segments",
     "default_quadrature",
+    "tabulate",
 ]
 
 
@@ -61,6 +64,47 @@ class GaussLegendre(QuadratureRule):
         return y.astype(np.float64), w.astype(np.float64)
 
 
+@jax.tree_util.register_pytree_node_class
+class Tabulated:
+    """A quadrature rule whose node/weight tables are pytree *leaves*.
+
+    The host-side rules above are static trace-time data, so their tables
+    compile to XLA constants — perfect for the jit path, but Pallas
+    requires array constants to be explicit kernel operands. ``Tabulated``
+    stores the tables as pytree children: embedded in a parameter container
+    it flows through ``pallas_call`` as an input and the in-kernel
+    ``nodes_weights()`` returns the runtime (VMEM-resident) tables.
+    """
+
+    def __init__(self, n, y, w):
+        self.n = n
+        self.y = y
+        self.w = w
+
+    def nodes_weights(self):
+        return self.y, self.w
+
+    def tree_flatten(self):
+        return (self.y, self.w), self.n
+
+    @classmethod
+    def tree_unflatten(cls, n, children):
+        return cls(n, *children)
+
+
+def tabulate(rule: QuadratureRule) -> Tabulated:
+    """Materialize a rule's float64 tables host-side once.
+
+    Tables are stored node-leading with two trailing unit axes
+    ``(n, 1, 1)`` so they broadcast directly against ``(ncol, nlev)``
+    tiles: Mosaic rejects reshapes *from* 1-D vectors (``(n,) ->
+    (n, 1, 1)`` is an unsupported shape cast) but handles >= 2-D sources,
+    so the unit axes are baked in host-side.
+    """
+    y, w = rule.nodes_weights()
+    return Tabulated(rule.n, y.reshape(-1, 1, 1), w.reshape(-1, 1, 1))
+
+
 def build_quadrature(order: int) -> QuadratureRule:
     """Select the quadrature rule from the single ``quadrature_order`` knob.
 
@@ -79,9 +123,14 @@ def default_quadrature() -> QuadratureRule:
 
 
 def _expand(arr, target):
-    """Reshape a (n,) node table to broadcast over ``target``'s shape with a
-    new leading axis."""
-    return arr.reshape((-1,) + (1,) * jnp.ndim(target))
+    """Reshape a node table to broadcast over ``target``'s shape with a
+    new leading axis. Pre-shaped ``(n, 1, ..., 1)`` tables pass through
+    untouched when they already match (the Pallas-kernel hot path — no
+    in-kernel reshape at all)."""
+    nd = jnp.ndim(target)
+    if arr.ndim == nd + 1 and arr.shape[1:] == (1,) * nd:
+        return arr
+    return arr.reshape((-1,) + (1,) * nd)
 
 
 def integrate(f: Callable, a, b, quad: QuadratureRule | None = None):

@@ -31,6 +31,8 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 
 import jax
@@ -38,17 +40,21 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = [
+    "atanh",
+    "cbrt",
     "clamp_to_nonneg",
     "eps_numerics",
     "eps_numerics_2M_M",
     "eps_numerics_2M_N",
     "eps_numerics_P3_B",
+    "expm1",
     "fac",
     "gamma_inc",
     "gamma_inc_inv",
     "lgamma",
     "gamma",
     "logsumexp",
+    "raw_special_functions",
     "sgs_weight_function",
     "regularised_ratio",
     "rime_mass_fraction",
@@ -118,6 +124,70 @@ def fac(n: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Mosaic-safe elementwise transcendentals
+#
+# Pallas TPU lowering (Mosaic) implements exp/log/log1p/tanh/pow/sqrt but
+# not expm1/atanh/cbrt/lgamma (probed on v5e). The versions below are built
+# from the supported set so every op in this library lowers into a Pallas
+# kernel unchanged; the XLA jit path uses the same definitions, keeping the
+# two paths numerically identical.
+# ---------------------------------------------------------------------------
+
+def expm1(x):
+    """``exp(x) - 1`` stable at 0, via ``tanh``: with ``t = tanh(x/2)``,
+    ``e^x - 1 = 2t / (1 - t)`` (exact identity; tanh is a Mosaic
+    primitive). Falls back to ``exp(x) - 1`` for |x| >= 1 where
+    cancellation is gone and the identity's ``1 - t`` would underflow."""
+    x = jnp.asarray(x, float_dtype(x))
+    t = jnp.tanh(x / 2)
+    small = jnp.abs(x) < 1.0
+    t_s = jnp.where(small, t, jnp.zeros_like(t))
+    return jnp.where(small, 2 * t_s / (1 - t_s), jnp.exp(x) - 1)
+
+
+def atanh(x):
+    """``atanh(x) = (log1p(x) - log1p(-x)) / 2`` (log1p is a Mosaic
+    primitive)."""
+    return (jnp.log1p(x) - jnp.log1p(-x)) / 2
+
+
+def cbrt(x):
+    """Signed cube root via ``pow`` (Mosaic primitive)."""
+    x = jnp.asarray(x, float_dtype(x))
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+
+
+# Lanczos g=7, n=9 coefficients (double precision; Boost/Numerical Recipes
+# standard set). Positive-argument only — every shape parameter in this
+# library (mu + k + 1, a, b + delta, ...) is > 0.
+_LANCZOS_G = 7.0
+_LANCZOS_COEFFS = (
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+_HALF_LOG_2PI = 0.5 * math.log(2 * math.pi)
+
+
+def _lgamma_pos(z):
+    """Mosaic-safe ``log Gamma(z)`` for ``z > 0`` (Lanczos, abs err
+    ~1e-13 in f64). Dead-branch-safe: z <= 0 is sanitized, not NaN."""
+    z = jnp.asarray(z, float_dtype(z))
+    z = jnp.maximum(z, jnp.asarray(jnp.finfo(z.dtype).tiny, z.dtype)) - 1
+    series = jnp.full_like(z, _LANCZOS_COEFFS[0])
+    for i, c in enumerate(_LANCZOS_COEFFS[1:], start=1):
+        series = series + c / (z + i)
+    t = z + _LANCZOS_G + 0.5
+    return _HALF_LOG_2PI + (z + 0.5) * jnp.log(t) - t + jnp.log(series)
+
+
+# ---------------------------------------------------------------------------
 # lgamma / gamma wrappers
 # ---------------------------------------------------------------------------
 
@@ -127,7 +197,7 @@ def lgamma(a):
     # XLA constant-fold parameter-only gamma factors.
     if isinstance(a, (int, float)) and not isinstance(a, bool):
         return math.lgamma(a)
-    return lax.lgamma(jnp.asarray(a, float_dtype(a)))
+    return _lgamma_pos(a)
 
 
 def gamma(a):
@@ -208,7 +278,47 @@ def _gamma_inc_core(a, x, lgamma_a):
     return jnp.where(isnan, nan, P), jnp.where(isnan, nan, Q)
 
 
+def _gamma_inc_impl(a, x):
+    dt = float_dtype(a, x)
+    a = jnp.asarray(a, dt)
+    x = jnp.asarray(x, dt)
+    a, x = jnp.broadcast_arrays(a, x)
+    return _gamma_inc_core(a, x, _lgamma_pos(a))
+
+
+# Pallas/Mosaic escape hatch: Mosaic cannot lower custom_jvp_call with
+# symbolic_zeros, and Pallas kernels are forward-only (differentiating
+# through a pallas_call needs explicit custom rules anyway), so kernel
+# wrappers trace with the raw implementations instead.
+_RAW_SPECIAL = contextvars.ContextVar("cmt_raw_special", default=False)
+
+
+@contextlib.contextmanager
+def raw_special_functions():
+    """Trace special functions without their ``custom_jvp`` wrappers.
+
+    Also flips the library into "VMEM-lean" mode: nested quadratures loop
+    over outer nodes (``lax.fori_loop``) instead of materializing the full
+    (n_outer, n_inner, tile) tensors, keeping Mosaic's scoped-VMEM usage
+    bounded. Pallas kernel wrappers enter this context around tracing.
+    """
+    token = _RAW_SPECIAL.set(True)
+    try:
+        yield
+    finally:
+        _RAW_SPECIAL.reset(token)
+
+
+def in_pallas_trace() -> bool:
+    """True while tracing inside :func:`raw_special_functions`."""
+    return _RAW_SPECIAL.get()
+
+
 @jax.custom_jvp
+def _gamma_inc_cjvp(a, x):
+    return _gamma_inc_impl(a, x)
+
+
 def gamma_inc(a, x):
     """Regularized incomplete gamma ``(P(a,x), Q(a,x))``.
 
@@ -217,18 +327,16 @@ def gamma_inc(a, x):
     ``src/Utilities.jl:93-144``. Differentiable in ``x`` (analytic rule);
     a nonzero tangent in ``a`` produces NaN (unsupported, by design).
     """
-    dt = float_dtype(a, x)
-    a = jnp.asarray(a, dt)
-    x = jnp.asarray(x, dt)
-    a, x = jnp.broadcast_arrays(a, x)
-    return _gamma_inc_core(a, x, lax.lgamma(a))
+    if _RAW_SPECIAL.get():
+        return _gamma_inc_impl(a, x)
+    return _gamma_inc_cjvp(a, x)
 
 
 def _is_sym_zero(t) -> bool:
     return isinstance(t, jax.custom_derivatives.SymbolicZero)
 
 
-@lambda f: gamma_inc.defjvp(f, symbolic_zeros=True)
+@lambda f: _gamma_inc_cjvp.defjvp(f, symbolic_zeros=True)
 def _gamma_inc_jvp(primals, tangents):
     a, x = primals
     da, dx = tangents
@@ -238,7 +346,7 @@ def _gamma_inc_jvp(primals, tangents):
     P, Q = gamma_inc(a, x)
     x_safe = jnp.maximum(x, jnp.asarray(floatmin(dt), dt))
     deriv = jnp.where(
-        x > 0, jnp.exp((a - 1) * jnp.log(x_safe) - x - lax.lgamma(a)), 0.0
+        x > 0, jnp.exp((a - 1) * jnp.log(x_safe) - x - _lgamma_pos(a)), 0.0
     )
     # d/da is not implemented: a structurally-constant `a` (symbolic zero
     # tangent) is fine; an `a` that depends on the differentiation variable
@@ -269,15 +377,7 @@ def gamma_inc_upper(a, x):
 _HALLEY_ITERS = 15  # reference src/Utilities.jl:225
 
 
-@jax.custom_jvp
-def gamma_inc_inv(a, p, q):
-    """Inverse of :func:`gamma_inc`: ``x`` such that ``P(a,x) = p``.
-
-    Halley's method, fixed 15 iterations with convergence freezing
-    (reference ``src/Utilities.jl:205-252``). The ``Q - q`` residual is used
-    for ``p > 0.5`` to avoid catastrophic cancellation. Differentiable in
-    ``p`` via the inverse function theorem; ``a`` tangents yield NaN.
-    """
+def _gamma_inc_inv_impl(a, p, q):
     dt = float_dtype(a, p, q)
     a = jnp.asarray(a, dt)
     p = jnp.asarray(p, dt)
@@ -290,15 +390,17 @@ def gamma_inc_inv(a, p, q):
     # Initial guess (src/Utilities.jl:212-217)
     p_safe = jnp.maximum(p, tiny)
     q_safe = jnp.maximum(q, tiny)
-    lgamma_a = lax.lgamma(a)
+    lgamma_a = _lgamma_pos(a)
     a_safe = jnp.maximum(a, tiny)
-    guess_lo = jnp.exp((jnp.log(p_safe) + lax.lgamma(a + 1)) / a_safe)
+    guess_lo = jnp.exp((jnp.log(p_safe) + _lgamma_pos(a + 1)) / a_safe)
     guess_hi = a - jnp.log(q_safe)
     x0 = jnp.where(p < 0.5, guess_lo, guess_hi)
     x0 = jnp.maximum(x0, tiny)
 
     use_q = p > 0.5
 
+    # NOTE: the convergence-freeze mask is carried as 0/1 float, not bool —
+    # Mosaic fails to legalize scf.for with i1 vector carries.
     def body(_, carry):
         x, done = carry
         P, Q = _gamma_inc_core(a, x, lgamma_a)
@@ -315,12 +417,12 @@ def gamma_inc_inv(a, p, q):
         # Protect against stepping to x <= 0
         step = jnp.where(x - step <= 0, 0.5 * x, step)
         x_new = x - step
-        done_pre = done | fp_zero
+        done_pre = (done > 0.5) | fp_zero
         x = jnp.where(done_pre, x, x_new)
-        done = done_pre | (jnp.abs(step) < eps * x_new)
-        return x, done
+        done_new = done_pre | (jnp.abs(step) < eps * x_new)
+        return x, done_new.astype(dt)
 
-    x, _ = lax.fori_loop(0, _HALLEY_ITERS, body, (x0, jnp.zeros_like(x0, bool)))
+    x, _ = lax.fori_loop(0, _HALLEY_ITERS, body, (x0, jnp.zeros_like(x0)))
 
     x = jnp.where(p <= 0, jnp.asarray(0.0, dt), x)
     x = jnp.where(q <= 0, jnp.asarray(jnp.inf, dt), x)
@@ -328,7 +430,25 @@ def gamma_inc_inv(a, p, q):
     return jnp.where(isnan, jnp.asarray(jnp.nan, dt), x)
 
 
-@lambda f: gamma_inc_inv.defjvp(f, symbolic_zeros=True)
+@jax.custom_jvp
+def _gamma_inc_inv_cjvp(a, p, q):
+    return _gamma_inc_inv_impl(a, p, q)
+
+
+def gamma_inc_inv(a, p, q):
+    """Inverse of :func:`gamma_inc`: ``x`` such that ``P(a,x) = p``.
+
+    Halley's method, fixed 15 iterations with convergence freezing
+    (reference ``src/Utilities.jl:205-252``). The ``Q - q`` residual is used
+    for ``p > 0.5`` to avoid catastrophic cancellation. Differentiable in
+    ``p`` via the inverse function theorem; ``a`` tangents yield NaN.
+    """
+    if _RAW_SPECIAL.get():
+        return _gamma_inc_inv_impl(a, p, q)
+    return _gamma_inc_inv_cjvp(a, p, q)
+
+
+@lambda f: _gamma_inc_inv_cjvp.defjvp(f, symbolic_zeros=True)
 def _gamma_inc_inv_jvp(primals, tangents):
     a, p, q = primals
     da, dp, _dq = tangents
@@ -336,7 +456,7 @@ def _gamma_inc_inv_jvp(primals, tangents):
     a = jnp.asarray(a, dt)
     x = gamma_inc_inv(a, p, q)
     x_safe = jnp.maximum(x, jnp.asarray(floatmin(dt), dt))
-    dP_dx = jnp.exp((a - 1) * jnp.log(x_safe) - x - lax.lgamma(a))
+    dP_dx = jnp.exp((a - 1) * jnp.log(x_safe) - x - _lgamma_pos(a))
     dx_dp = jnp.where(dP_dx > 0, 1.0 / jnp.maximum(dP_dx, floatmin(dt)), 0.0)
     zero = jnp.zeros_like(x)
     bad = zero if _is_sym_zero(da) else jnp.asarray(jnp.nan, dt) * da
@@ -379,7 +499,7 @@ def sgs_weight_function(a, a_half):
     k = -1.0 / (jnp.log2(jnp.asarray(1.0, dt) - a_half))
     inner = 1 - 2 * (1 - a_s) ** k
     inner = jnp.clip(inner, -1.0 + eps, 1.0 - eps)
-    w = (1 + jnp.tanh(2 * jnp.arctanh(inner))) / 2
+    w = (1 + jnp.tanh(2 * atanh(inner))) / 2
     w = jnp.where(a < 0, jnp.zeros_like(w), w)
     w = jnp.where(4 * a < eps, jnp.zeros_like(w), w)
     w = jnp.where(a > jnp.minimum(jnp.asarray(1.0, dt), 42.0 * a_half),

@@ -90,3 +90,50 @@ class TestColumn2MPallas:
                 np.asarray(getattr(out, name)),
                 np.asarray(getattr(ref, name)), rtol=2e-5, atol=1e-8,
                 err_msg=name)
+
+
+class TestColumnP3Pallas:
+    def _state(self):
+        from cloudmicrophysics_tpu.models.column import ColumnStateP3
+
+        f = lambda v: jnp.full((64, 8), v, jnp.float32)
+        return ColumnStateP3(
+            rho=f(1.1), T=f(263.0), q_tot=f(6e-3), q_lcl=f(1e-3),
+            n_lcl=f(9e7), q_rai=f(5e-4), n_rai=f(9e5), q_ice=f(5e-4),
+            n_ice=f(1e5), q_rim=f(1e-4), b_rim=f(2e-7))
+
+    def test_matches_xla_fused_path(self):
+        from cloudmicrophysics_tpu.kernels import step_column_p3_pallas
+        from cloudmicrophysics_tpu.models.column import step_column_p3
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        mp = microphysics_2m_params(with_ice=True)
+        st = self._state()
+        ref, loglam_ref = step_column_p3(st, mp, TPS, 1.0, 100.0)
+        out, loglam = step_column_p3_pallas(st, mp, TPS, 1.0, 100.0,
+                                            block_cols=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(loglam),
+                                   np.asarray(loglam_ref), rtol=2e-5)
+        for name in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)), rtol=3e-5, atol=1e-10,
+                err_msg=name)
+
+    def test_warm_start_matches(self):
+        from cloudmicrophysics_tpu.kernels import step_column_p3_pallas
+        from cloudmicrophysics_tpu.models.column import step_column_p3
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        mp = microphysics_2m_params(with_ice=True)
+        st = self._state()
+        st1, loglam1 = step_column_p3(st, mp, TPS, 1.0, 100.0)
+        ref, _ = step_column_p3(st1, mp, TPS, 1.0, 100.0, loglam1)
+        out, _ = step_column_p3_pallas(st1, mp, TPS, 1.0, 100.0,
+                                       loglambda_guess=loglam1,
+                                       block_cols=64, interpret=True)
+        for name in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)), rtol=3e-5, atol=1e-10,
+                err_msg=name)

@@ -1,0 +1,66 @@
+"""Quadrature-order convergence of the FULL 2M+P3 tendency vector.
+
+Mirrors reference ``test/bulk_tendencies_quadrature_tests.jl:11-70``: the
+complete fused tendency vector over curated column states, computed at
+reduced quadrature orders, must match the n=100 default within the ladder
+  n=50: <5e-3, n=25: <5e-2, n=15: <2e-1  (relative, vector norm)
+(the n=100-vs-itself rung of the reference ladder, <2e-3, is trivially 0
+here since n=100 *is* the baseline).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloudmicrophysics_tpu.models.tendencies import bulk_tendencies_2m
+from cloudmicrophysics_tpu.ops import p3 as P3
+from cloudmicrophysics_tpu.parameters import (
+    ThermodynamicsParameters,
+    microphysics_2m_params,
+)
+
+TPS = ThermodynamicsParameters()
+
+# curated column states (rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
+#                        q_ice, n_ice, q_rim, b_rim) — mixed-phase,
+# cold/warm, rimed/unrimed, following the reference's curated states
+STATES = [
+    (1.1, 263.0, 6e-3, 1e-3, 9e7, 5e-4, 9e5, 5e-4, 1e5, 1e-4, 2e-7),
+    (0.7, 240.0, 2e-3, 1e-4, 2e7, 2e-5, 5e4, 2e-3, 8e5, 1.8e-3, 5e-6),
+]
+
+
+def _tendency_vector(order):
+    mp = microphysics_2m_params(with_ice=True, quadrature_order=order)
+    out = []
+    for (rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
+         q_ice, n_ice, q_rim, b_rim) in STATES:
+        f = lambda v: jnp.asarray(v, jnp.float64)
+        pstate = P3.state_from_prognostic(
+            mp.ice.scheme, f(q_ice * rho), f(n_ice * rho),
+            f(q_rim * rho), f(b_rim * rho))
+        loglam = P3.get_distribution_loglambda(pstate)
+        rates = bulk_tendencies_2m(
+            mp, TPS, f(rho), f(T), f(q_tot), f(q_lcl), f(n_lcl),
+            f(q_rai), f(n_rai), f(q_ice), f(n_ice), f(q_rim), f(b_rim),
+            loglam)
+        out.extend(float(v) for v in rates)
+    return np.array(out)
+
+
+@pytest.fixture(scope="module")
+def baseline():
+    return _tendency_vector(100)
+
+
+LADDER = [(50, 5e-3), (25, 5e-2), (15, 2e-1)]
+
+
+@pytest.mark.parametrize("order,tol", LADDER)
+def test_ladder(order, tol, baseline):
+    vec = _tendency_vector(order)
+    # relative error with a floor, per tendency component, as in the
+    # reference's rel_err(a, b) = |a-b| / max(|b|, floor)
+    floor = np.maximum(np.abs(baseline), 1e-14)
+    rel = np.abs(vec - baseline) / floor
+    assert rel.max() < tol, (order, rel.max(), np.argmax(rel))

@@ -267,6 +267,78 @@ class TestGraftEntry:
         GE.dryrun_multichip(8)
 
 
+class TestColumnP3:
+    def _state(self, ncol=4, nlev=8):
+        f = lambda v: jnp.full((ncol, nlev), v, jnp.float32)
+        from cloudmicrophysics_tpu.models.column import ColumnStateP3
+
+        return ColumnStateP3(
+            rho=f(1.1), T=f(263.0), q_tot=f(6e-3), q_lcl=f(1e-3),
+            n_lcl=f(9e7), q_rai=f(5e-4), n_rai=f(9e5), q_ice=f(5e-4),
+            n_ice=f(1e5), q_rim=f(1e-4), b_rim=f(2e-7))
+
+    def test_step_runs_and_stays_finite(self):
+        from cloudmicrophysics_tpu.models.column import step_column_p3
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        mp = microphysics_2m_params(with_ice=True)
+        st = self._state()
+        new, loglam = jax.jit(
+            lambda s: step_column_p3(s, mp, TPS, 1.0, 100.0))(st)
+        assert np.isfinite(np.asarray(loglam)).all()
+        for name in new._fields:
+            v = np.asarray(getattr(new, name))
+            assert np.isfinite(v).all(), name
+            if name not in ("rho", "T"):
+                assert (v >= 0).all(), name
+        # rime mass never exceeds total ice mass
+        assert (np.asarray(new.q_rim) <= np.asarray(new.q_ice) + 1e-12).all()
+
+    def test_warm_start_matches_cold_start(self):
+        # warm-start contract (reference
+        # test/p3_shape_solver_warmstart_tests.jl:22-90): any guess must
+        # reproduce the cold-start step to rtol 1e-3 (F32)
+        from cloudmicrophysics_tpu.models.column import step_column_p3
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        mp = microphysics_2m_params(with_ice=True)
+        st = self._state()
+        st1, loglam1 = step_column_p3(st, mp, TPS, 1.0, 100.0)
+        cold, _ = step_column_p3(st1, mp, TPS, 1.0, 100.0)
+        warm, _ = step_column_p3(st1, mp, TPS, 1.0, 100.0, loglam1)
+        for name in cold._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(warm, name)),
+                np.asarray(getattr(cold, name)), rtol=1e-3, atol=1e-12,
+                err_msg=name)
+
+    def test_ice_sediments_downward(self):
+        from cloudmicrophysics_tpu.models.column import step_column_p3
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        mp = microphysics_2m_params(with_ice=True)
+        st = self._state(ncol=2, nlev=12)
+        # ice only in the top half; cold column so it doesn't melt
+        mask = np.zeros((2, 12), np.float32)
+        mask[:, 8:] = 1.0
+        st = st._replace(
+            T=jnp.full((2, 12), 250.0, jnp.float32),
+            q_ice=jnp.asarray(2e-3 * mask),
+            n_ice=jnp.asarray(5e5 * mask),
+            q_rim=jnp.asarray(5e-4 * mask),
+            b_rim=jnp.asarray(1e-6 * mask),
+            q_rai=jnp.zeros((2, 12), jnp.float32),
+            n_rai=jnp.zeros((2, 12), jnp.float32),
+        )
+        new = st
+        guess = None
+        for _ in range(5):
+            new, guess = step_column_p3(new, mp, TPS, 5.0, 50.0, guess)
+        before = np.asarray(st.q_ice)[0, :8].sum()
+        after = np.asarray(new.q_ice)[0, :8].sum()
+        assert after > before  # ice mass moved into the lower levels
+
+
 class TestColumn2M:
     def test_step_column_2m_conserves_and_rains(self):
         import numpy as np
