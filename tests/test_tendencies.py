@@ -259,12 +259,26 @@ class TestGraftEntry:
             assert np.all(np.isfinite(leaf))
 
     def test_dryrun_multichip(self):
+        # Run in a fresh interpreter, exactly as the driver does: compiling
+        # the 8-way-partitioned P3 program on top of a long-lived pytest
+        # process has hit XLA:CPU compiler stack exhaustion.
+        import subprocess
         import sys
 
-        sys.path.insert(0, "/root/repo")
-        import __graft_entry__ as GE
-
-        GE.dryrun_multichip(8)
+        code = (
+            "import sys; sys.path.insert(0, '/root/repo');"
+            "import __graft_entry__ as GE; GE.dryrun_multichip(8)"
+        )
+        env = dict(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=8",
+            PATH="/usr/bin:/bin",
+            HOME="/root",
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env,
+            capture_output=True, text=True, timeout=1200)
+        assert proc.returncode == 0, proc.stderr[-2000:]
 
 
 class TestColumnP3:
