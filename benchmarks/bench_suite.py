@@ -22,14 +22,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _throughput(step, args, n_pts, n_iter=30):
+    """Time a self-map ``x1 = step(*args)`` chained as ``step(x1, ...)``.
+
+    Every iteration feeds the previous output back in (``step`` must map
+    its first argument to a like-structured output), so each call has
+    fresh input buffers. Same-args timing loops are NOT trustworthy on
+    this stack: the remote TPU runtime can serve repeated identical
+    executions from cache, inflating throughput by >50x.
+    """
     import jax
 
-    out = step(*args)
-    jax.block_until_ready(out)
+    x, rest = args[0], args[1:]
+    x = step(x, *rest)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = step(*args)
-    jax.block_until_ready(out)
+        x = step(x, *rest)
+    jax.block_until_ready(x)
     dt = time.perf_counter() - t0
     return n_pts * n_iter / dt
 
@@ -97,24 +106,48 @@ def main():
         results.append(("1m_step_pallas", _throughput(jit1p, (state1,), N),
                         N))
 
-    # --- 2M warm rain ---
+    # --- 2M warm rain (self-map: tiny Euler update keeps buffers fresh) ---
     mp2 = cm.parameters.microphysics_2m_params()
-    jit2 = jax.jit(lambda rho, T, qt, ql, nl, qr, nr: bulk_tendencies_2m(
-        mp2, tps, rho, T, qt, ql, nl, qr, nr))
-    a2 = (f(1.1), f(288.0), f(6e-3), f(1e-3), f(9e7), f(5e-4), f(9e5))
-    results.append(("2m_warm", _throughput(jit2, a2, N), N))
+    clamp = lambda q: jnp.maximum(q, 0.0)
 
-    # --- 2M + P3 ice ---
+    def warm_selfmap(x):
+        rho, T, qt, ql, nl, qr, nr = x
+        r = bulk_tendencies_2m(mp2, tps, rho, T, qt, ql, nl, qr, nr)
+        d = 1e-3
+        return (rho, T, qt, clamp(ql + d * r.dq_lcl_dt),
+                clamp(nl + d * r.dn_lcl_dt), clamp(qr + d * r.dq_rai_dt),
+                clamp(nr + d * r.dn_rai_dt))
+
+    a2 = (f(1.1), f(288.0), f(6e-3), f(1e-3), f(9e7), f(5e-4), f(9e5))
+    results.append(("2m_warm", _throughput(jax.jit(warm_selfmap), (a2,), N),
+                    N))
+
+    # --- 2M + P3 ice (pointwise; loglambda solved once, held) ---
     mp3 = cm.parameters.microphysics_2m_params(with_ice=True)
     n3 = max(N // 16, 1024)
     f3 = lambda v: jnp.full((n3,), v, F)
-    jit3 = jax.jit(
-        lambda rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim:
-        bulk_tendencies_2m(mp3, tps, rho, T, qt, ql, nl, qr, nr,
-                           qi, ni, qrim, brim))
+    from cloudmicrophysics_tpu.ops import p3 as P3
+
+    ps0 = P3.state_from_prognostic(
+        mp3.ice.scheme, f3(1e-4 * 1.1), f3(9e4 * 1.1), f3(3e-5 * 1.1),
+        f3(3e-5 / 400 * 1.1))
+    ll3 = P3.get_distribution_loglambda(ps0)
+
+    def p3_selfmap(x):
+        rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim = x
+        r = bulk_tendencies_2m(mp3, tps, rho, T, qt, ql, nl, qr, nr,
+                               qi, ni, qrim, brim, ll3)
+        d = 1e-3
+        return (rho, T, qt, clamp(ql + d * r.dq_lcl_dt),
+                clamp(nl + d * r.dn_lcl_dt), clamp(qr + d * r.dq_rai_dt),
+                clamp(nr + d * r.dn_rai_dt), clamp(qi + d * r.dq_ice_dt),
+                clamp(ni + d * r.dn_ice_dt), clamp(qrim + d * r.dq_rim_dt),
+                clamp(brim + d * r.db_rim_dt))
+
     a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
           f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400))
-    results.append(("2m_p3", _throughput(jit3, a3, n3, n_iter=10), n3))
+    results.append(("2m_p3", _throughput(jax.jit(p3_selfmap), (a3,), n3,
+                                         n_iter=10), n3))
 
     # --- full P3 column step (shape solve + processes + sedimentation) ---
     from cloudmicrophysics_tpu.models.column import (
@@ -129,25 +162,13 @@ def main():
                         n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
                         q_rim=fc(1e-4), b_rim=fc(2e-7))
     jit3c = jax.jit(
-        lambda s, g: step_column_p3(s, mp3, tps, 1.0, 100.0, g))
-    _, loglam0 = jit3c(st3, None)
+        lambda x: step_column_p3(x[0], mp3, tps, 1.0, 100.0, x[1]))
+    _, loglam0 = jit3c((st3, None))
     jax.block_until_ready(loglam0)
     n3c = ncol3 * nlev3
     results.append(("p3_column_step",
-                    _throughput(jit3c, (st3, loglam0), n3c, n_iter=10),
+                    _throughput(jit3c, ((st3, loglam0),), n3c, n_iter=10),
                     n3c))
-
-    if jax.devices()[0].platform == "tpu":
-        from cloudmicrophysics_tpu.kernels import step_column_p3_pallas
-
-        bc3 = 128
-        while ncol3 % bc3:
-            bc3 //= 2
-        jit3p = jax.jit(lambda s, g: step_column_p3_pallas(
-            s, mp3, tps, 1.0, 100.0, loglambda_guess=g, block_cols=bc3))
-        results.append(("p3_column_step_pallas",
-                        _throughput(jit3p, (st3, loglam0), n3c, n_iter=10),
-                        n3c))
 
     # --- parcel scan (steps/s; latency-bound) ---
     from cloudmicrophysics_tpu.models import parcel as PM
@@ -159,7 +180,9 @@ def main():
     params = PM.parcel_params(condensation_growth="Condensation",
                               const_dt=0.1, w=1.0)
     n_steps = 1000
-    run = jax.jit(lambda ic: PM.run_parcel(ic, 0.0, n_steps * 0.1, params))
+    # self-map: the trajectory's final state seeds the next run
+    run = jax.jit(lambda ic: jax.tree_util.tree_map(
+        lambda a: a[-1], PM.run_parcel(ic, 0.0, n_steps * 0.1, params)))
     results.append(("parcel", _throughput(run, (ic,), n_steps, n_iter=10),
                     n_steps))
 

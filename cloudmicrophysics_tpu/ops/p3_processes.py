@@ -374,7 +374,15 @@ def bulk_liquid_ice_collision_sources(
 
 def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
     """Aggregation loss rate of ice number [1/m^3/s] — double integral with
-    the inner integral split at the |v1 - v2| cusp (D2 = D1)."""
+    the inner integral split at the |v1 - v2| cusp (D2 = D1).
+
+    The integrand ``n(D1) n(D2) K(D1, D2) |v(D1) - v(D2)|`` is symmetric
+    under D1 <-> D2, so only the lower triangle (inner D2 in [D_lo, D1])
+    is integrated and doubled — half the transcendental work of the
+    reference's both-halves cusp split (src/P3_processes.jl:676-712) for
+    the same integral; each half is smooth so Gauss-Legendre accuracy is
+    unchanged.
+    """
     if quad is None:
         quad = default_quadrature()
     dt = float_dtype(rho_a, loglambda)
@@ -388,9 +396,9 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
     D1, w1 = _segment_nodes(quad, bnds)        # (n1, *cell)
     n1_of_D1 = n_i(D1)
 
-    def half(r1, v1, lo, hi):
-        # inner nodes get a new leading axis over r1/v1's shape
-        D2, w2 = _nodes(quad, lo, hi)
+    def lower_triangle(r1, v1, D1_c):
+        # inner nodes over [D_lo, D1]; new leading axis over r1/v1's shape
+        D2, w2 = _nodes(quad, D_lo + jnp.zeros_like(D1_c), D1_c)
         v2 = v_ice(D2)
         r2 = jnp.sqrt(P3.ice_area(state, D2) / PI)
         K = PI * (r1[None] + r2) ** 2
@@ -410,16 +418,12 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
             D1_c = D1[s:s + chunk]
             v1_c = v_ice(D1_c)
             r1_c = jnp.sqrt(P3.ice_area(state, D1_c) / PI)
-            inner = half(r1_c, v1_c, D_lo + jnp.zeros_like(D1_c), D1_c) \
-                + half(r1_c, v1_c, D1_c, D_hi + jnp.zeros_like(D1_c))
+            inner = lower_triangle(r1_c, v1_c, D1_c)
             total = total + jnp.sum(
                 inner * n1_of_D1[s:s + chunk] * w1[s:s + chunk], axis=0)
-        return 0.5 * total
+        return total
 
     v1 = v_ice(D1)
     r1 = jnp.sqrt(P3.ice_area(state, D1) / PI)
-    lo_b = D_lo + jnp.zeros_like(D1)
-    hi_b = D_hi + jnp.zeros_like(D1)
-    inner = half(r1, v1, lo_b, D1) + half(r1, v1, D1, hi_b)
-    total = jnp.sum(inner * n1_of_D1 * w1, axis=0)
-    return 0.5 * total
+    inner = lower_triangle(r1, v1, D1)
+    return jnp.sum(inner * n1_of_D1 * w1, axis=0)

@@ -16,13 +16,27 @@ here:
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["bench_press", "BenchReport"]
+__all__ = ["bench_press", "BenchReport", "profile_trace"]
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a ``jax.profiler`` device trace (XProf/TensorBoard format)
+    for everything run inside the context — the TPU-native replacement
+    for the reference's allocation-profile dump on budget breach
+    (``test/performance_tests.jl:52-67``; SURVEY.md §5)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 class BenchReport(NamedTuple):

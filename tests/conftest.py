@@ -32,6 +32,20 @@ def dtype(request):
     return np.dtype(request.param)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A multi-hundred-program pytest session has segfaulted XLA:CPU inside
+    ``backend_compile`` when compiling the large fused P3 programs late in
+    the run (LLVM JIT code-memory exhaustion); the same programs compile
+    fine in a fresh process. Bounding the in-memory executable cache keeps
+    the long suite stable.
+    """
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-compiling benchmark/integration tests")
