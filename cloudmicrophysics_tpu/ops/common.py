@@ -64,8 +64,8 @@ def G_func_liquid(aps: AirProperties, tps: TPS, T):
     R_v = tps.R_v
     L = TDI.latent_heat_vapor(tps, T)
     p_vs = jnp.maximum(TDI.saturation_vapor_pressure_over_liquid(tps, T), eps)
-    D_vapor = max(aps.D_vapor, eps)
-    K_therm = max(aps.K_therm, eps)
+    D_vapor = jnp.maximum(aps.D_vapor, eps)
+    K_therm = jnp.maximum(aps.K_therm, eps)
     return 1 / (L / K_therm / T * (L / R_v / T - 1) + R_v * T / D_vapor / p_vs)
 
 
@@ -77,8 +77,8 @@ def G_func_ice(aps: AirProperties, tps: TPS, T):
     R_v = tps.R_v
     L = TDI.latent_heat_sublim(tps, T)
     p_vs = jnp.maximum(TDI.saturation_vapor_pressure_over_ice(tps, T), eps)
-    D_vapor = max(aps.D_vapor, eps)
-    K_therm = max(aps.K_therm, eps)
+    D_vapor = jnp.maximum(aps.D_vapor, eps)
+    K_therm = jnp.maximum(aps.K_therm, eps)
     return 1 / (L / K_therm / T * (L / R_v / T - 1) + R_v * T / D_vapor / p_vs)
 
 

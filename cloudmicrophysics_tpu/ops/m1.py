@@ -90,15 +90,15 @@ def lambda_inverse(pdf, mass: P1.ParticleMass, q, rho):
     tiny = jnp.asarray(1e-50 if dt == jnp.float64 else 1e-25, dt)
     qp = jnp.maximum(clamp_to_nonneg(q), tiny)
     rhop = jnp.maximum(clamp_to_nonneg(rho), tiny)
-    import math
-
-    log_denom = math.log(mass.chim * mass.m0 * mass.gamma_coeff) + jnp.log(
+    # jnp.log (not math.log): mass.* are pytree leaves and may be traced
+    # (calibration passes params through jit)
+    log_denom = jnp.log(mass.chim * mass.m0 * mass.gamma_coeff) + jnp.log(
         jnp.maximum(n0, eps)
     )
     power = 1.0 / (mass.me + mass.dm + 1)
     log_num = (
         jnp.log(rhop) + jnp.log(qp)
-        + math.log(mass.r0) * (mass.me + mass.dm)
+        + jnp.log(mass.r0) * (mass.me + mass.dm)
     )
     lam_inv = jnp.exp(power * (log_num - log_denom))
     # Below the q floor the ratio is meaningless (snow n0 -> 0 faster than
@@ -491,7 +491,7 @@ def _ventilated_lambda_term(mass_r0, vel, vent, aps, v0, lambda_inv):
     (r0 lam)^((ve+dv)/2) * gamma_vent."""
     dt = float_dtype(lambda_inv)
     eps = eps_numerics(dt)
-    Sc = aps.nu_air / max(aps.D_vapor, eps)
+    Sc = aps.nu_air / jnp.maximum(aps.D_vapor, eps)
     return (
         vent.a
         + vent.b * Sc ** (1.0 / 3.0)

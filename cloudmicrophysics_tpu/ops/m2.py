@@ -446,7 +446,7 @@ def rain_evaporation(sb: P2.SB2006, aps: AirProperties, tps: TPS,
 
     N_Re = evap.alpha * xr_safe**evap.beta * jnp.sqrt(evap.rho0 / rho) \
         * Dr / aps.nu_air
-    cbrt_Sc = (aps.nu_air / max(aps.D_vapor, eps_numerics(dt))) ** (1 / 3)
+    cbrt_Sc = (aps.nu_air / jnp.maximum(aps.D_vapor, eps_numerics(dt))) ** (1 / 3)
     sqrt_N_Re = jnp.sqrt(N_Re)
     Fv0 = a_vent_0 + b_vent_0 * cbrt_Sc * sqrt_N_Re
     Fv1 = evap.a_vent_1 + evap.b_vent_1 * cbrt_Sc * sqrt_N_Re

@@ -22,6 +22,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the P3/kernel integration tests compile very
+# large XLA programs; caching the executables on disk makes repeat suite runs
+# minutes faster (first run in a fresh checkout pays full compile cost once).
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import pytest  # noqa: E402
 
 

@@ -39,10 +39,10 @@ def _state(ncol, nlev, dtype):
 
 class TestColumn1MPallas:
     def test_matches_xla_fused_path(self):
-        state = _state(256, 32, jnp.float32)
+        state = _state(64, 16, jnp.float32)
         ref = step_column_1m(state, MP, TPS, TV, 1.0, 100.0)
         out = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
-                                    block_cols=64, interpret=True)
+                                    block_cols=16, interpret=True)
         for name in ref._fields:
             np.testing.assert_allclose(
                 np.asarray(getattr(out, name)),
@@ -52,20 +52,20 @@ class TestColumn1MPallas:
     def test_block_independence(self):
         # different tilings give the same answer (columns are independent;
         # the level axis stays whole)
-        state = _state(128, 16, jnp.float32)
+        state = _state(32, 8, jnp.float32)
         a = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
-                                  block_cols=128, interpret=True)
-        b = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
                                   block_cols=32, interpret=True)
+        b = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
+                                  block_cols=8, interpret=True)
         for name in a._fields:
             np.testing.assert_array_equal(np.asarray(getattr(a, name)),
                                           np.asarray(getattr(b, name)))
 
     def test_bad_tiling_raises(self):
-        state = _state(100, 16, jnp.float32)
+        state = _state(20, 8, jnp.float32)
         with pytest.raises(ValueError, match="not a multiple"):
             step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
-                                  block_cols=64, interpret=True)
+                                  block_cols=16, interpret=True)
 
 
 class TestColumn2MPallas:
@@ -78,13 +78,13 @@ class TestColumn2MPallas:
         from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
         mp = microphysics_2m_params()
-        f = lambda v: jnp.full((128, 24), v, jnp.float32)
+        f = lambda v: jnp.full((32, 8), v, jnp.float32)
         st = ColumnState2M(rho=f(1.1), T=f(288.0), q_tot=f(6e-3),
                            q_lcl=f(1e-3), n_lcl=f(9e7), q_rai=f(5e-4),
                            n_rai=f(9e5))
         ref = step_column_2m(st, mp, TPS, 1.0, 100.0)
         out = step_column_2m_pallas(st, mp, TPS, 1.0, 100.0,
-                                    block_cols=32, interpret=True)
+                                    block_cols=8, interpret=True)
         for name in ref._fields:
             np.testing.assert_allclose(
                 np.asarray(getattr(out, name)),
@@ -96,7 +96,7 @@ class TestColumnP3Pallas:
     def _state(self):
         from cloudmicrophysics_tpu.models.column import ColumnStateP3
 
-        f = lambda v: jnp.full((64, 8), v, jnp.float32)
+        f = lambda v: jnp.full((16, 4), v, jnp.float32)
         return ColumnStateP3(
             rho=f(1.1), T=f(263.0), q_tot=f(6e-3), q_lcl=f(1e-3),
             n_lcl=f(9e7), q_rai=f(5e-4), n_rai=f(9e5), q_ice=f(5e-4),
@@ -107,11 +107,11 @@ class TestColumnP3Pallas:
         from cloudmicrophysics_tpu.models.column import step_column_p3
         from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
-        mp = microphysics_2m_params(with_ice=True)
+        mp = microphysics_2m_params(with_ice=True, quadrature_order=16)
         st = self._state()
         ref, loglam_ref = step_column_p3(st, mp, TPS, 1.0, 100.0)
         out, loglam = step_column_p3_pallas(st, mp, TPS, 1.0, 100.0,
-                                            block_cols=32, interpret=True)
+                                            block_cols=8, interpret=True)
         np.testing.assert_allclose(np.asarray(loglam),
                                    np.asarray(loglam_ref), rtol=2e-5)
         for name in ref._fields:
@@ -125,13 +125,13 @@ class TestColumnP3Pallas:
         from cloudmicrophysics_tpu.models.column import step_column_p3
         from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
-        mp = microphysics_2m_params(with_ice=True)
+        mp = microphysics_2m_params(with_ice=True, quadrature_order=16)
         st = self._state()
         st1, loglam1 = step_column_p3(st, mp, TPS, 1.0, 100.0)
         ref, _ = step_column_p3(st1, mp, TPS, 1.0, 100.0, loglam1)
         out, _ = step_column_p3_pallas(st1, mp, TPS, 1.0, 100.0,
                                        loglambda_guess=loglam1,
-                                       block_cols=64, interpret=True)
+                                       block_cols=16, interpret=True)
         for name in ref._fields:
             np.testing.assert_allclose(
                 np.asarray(getattr(out, name)),

@@ -38,10 +38,25 @@ F = jnp.float64
 RHO_A = 1.1
 
 
-def make_state(L_ice=1e-3, N_ice=1e5, F_rim=0.4, rho_rim=400.0):
-    st = P3.p3_state(PARAMS, F(L_ice), F(N_ice), F(F_rim), F(rho_rim))
+@jax.jit
+def _make_state(L_ice, N_ice, F_rim, rho_rim):
+    st = P3.p3_state(PARAMS, L_ice, N_ice, F_rim, rho_rim)
     loglam = P3.get_distribution_loglambda(st)
     return st, loglam
+
+
+def make_state(L_ice=1e-3, N_ice=1e5, F_rim=0.4, rho_rim=400.0):
+    return _make_state(F(L_ice), F(N_ice), F(F_rim), F(rho_rim))
+
+
+# jitted wrappers so the heavy quadrature integrals compile once (and hit
+# the persistent compilation cache on repeat runs) instead of dispatching
+# eagerly op-by-op
+_ice_melt = jax.jit(P3P.ice_melt, static_argnames=("quad",))
+_ice_self_collection = jax.jit(P3P.ice_self_collection,
+                               static_argnames=("quad",))
+_collision_sources = jax.jit(P3P.bulk_liquid_ice_collision_sources,
+                             static_argnames=("quad",))
 
 
 class TestHetNucleation:
@@ -58,15 +73,15 @@ class TestHetNucleation:
 class TestIceMelt:
     def test_melt_above_freezing(self):
         st, loglam = make_state()
-        dN, dL = P3P.ice_melt(CHEN, APS, TPS, F(275.0), F(RHO_A), st, loglam,
+        dN, dL = _ice_melt(CHEN, APS, TPS, F(275.0), F(RHO_A), st, loglam,
                               quad=GaussLegendre(40))
         assert float(dL) > 0 and float(dN) > 0
         # below freezing: clamped to zero (no fusion)
-        dN0, dL0 = P3P.ice_melt(CHEN, APS, TPS, F(270.0), F(RHO_A), st,
+        dN0, dL0 = _ice_melt(CHEN, APS, TPS, F(270.0), F(RHO_A), st,
                                 loglam, quad=GaussLegendre(40))
         assert float(dL0) == 0 and float(dN0) == 0
         # warmer -> faster melt
-        dN2, dL2 = P3P.ice_melt(CHEN, APS, TPS, F(278.0), F(RHO_A), st,
+        dN2, dL2 = _ice_melt(CHEN, APS, TPS, F(278.0), F(RHO_A), st,
                                 loglam, quad=GaussLegendre(40))
         assert float(dL2) > float(dL)
 
@@ -103,7 +118,7 @@ class TestCollisions:
     def _sources(self, T, quad=GaussLegendre(16), **kw):
         args = {**self.ARGS, **kw}
         st, loglam = make_state()
-        return P3P.bulk_liquid_ice_collision_sources(
+        return _collision_sources(
             st, loglam, PDF_C, PDF_R, F(args["L_c"]), F(args["N_c"]),
             F(args["L_r"]), F(args["N_r"]), APS, TPS, CHEN, F(RHO_A), F(T),
             quad=quad)
@@ -147,12 +162,12 @@ class TestCollisions:
 class TestIceSelfCollection:
     def test_aggregation(self):
         st, loglam = make_state()
-        rate = P3P.ice_self_collection(st, loglam, CHEN, F(RHO_A),
+        rate = _ice_self_collection(st, loglam, CHEN, F(RHO_A),
                                        quad=GaussLegendre(40))
         assert float(rate) > 0
         # more ice -> much faster aggregation (~N^2)
         st2, loglam2 = make_state(L_ice=2e-3, N_ice=2e5)
-        rate2 = P3P.ice_self_collection(st2, loglam2, CHEN, F(RHO_A),
+        rate2 = _ice_self_collection(st2, loglam2, CHEN, F(RHO_A),
                                         quad=GaussLegendre(40))
         assert float(rate2) > 2 * float(rate)
 
@@ -160,16 +175,22 @@ class TestIceSelfCollection:
 class TestBMT2MP3:
     MP = microphysics_2m_params(with_ice=True)
 
-    def _tend(self, T, q_ice=1e-4, n_ice=1e5 / RHO_A, **kw):
-        st = P3.p3_state(PARAMS, F(q_ice * RHO_A), F(n_ice * RHO_A),
-                         F(kw.get("F_rim", 0.3)), F(400.0))
+    @staticmethod
+    @jax.jit
+    def _tend_jit(mp, T, q_ice, n_ice, F_rim, q_rim, b_rim):
+        st = P3.p3_state(PARAMS, q_ice * RHO_A, n_ice * RHO_A, F_rim,
+                         F(400.0))
         loglam = P3.get_distribution_loglambda(st)
         return bulk_tendencies_2m(
-            self.MP, TPS, F(RHO_A), F(T), F(1.2e-2), F(1e-3), F(1e8 / RHO_A),
-            F(1e-4), F(1e4 / RHO_A), q_ice=F(q_ice), n_ice=F(n_ice),
-            q_rim=F(kw.get("q_rim", 0.3 * q_ice)),
-            b_rim=F(kw.get("b_rim", 0.3 * q_ice / 400.0)),
-            log_lambda=loglam)
+            mp, TPS, F(RHO_A), T, F(1.2e-2), F(1e-3), F(1e8 / RHO_A),
+            F(1e-4), F(1e4 / RHO_A), q_ice=q_ice, n_ice=n_ice,
+            q_rim=q_rim, b_rim=b_rim, log_lambda=loglam)
+
+    def _tend(self, T, q_ice=1e-4, n_ice=1e5 / RHO_A, **kw):
+        return self._tend_jit(
+            self.MP, F(T), F(q_ice), F(n_ice), F(kw.get("F_rim", 0.3)),
+            F(kw.get("q_rim", 0.3 * q_ice)),
+            F(kw.get("b_rim", 0.3 * q_ice / 400.0)))
 
     def test_cold_full_tendencies(self):
         out = self._tend(258.0)

@@ -8,6 +8,7 @@ reduced quadrature orders, must match the n=100 default within the ladder
 here since n=100 *is* the baseline).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -30,20 +31,22 @@ STATES = [
 ]
 
 
+@jax.jit
+def _rates(mp, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai, q_ice, n_ice,
+           q_rim, b_rim):
+    pstate = P3.state_from_prognostic(
+        mp.ice.scheme, q_ice * rho, n_ice * rho, q_rim * rho, b_rim * rho)
+    loglam = P3.get_distribution_loglambda(pstate)
+    return bulk_tendencies_2m(
+        mp, TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai, q_ice, n_ice,
+        q_rim, b_rim, loglam)
+
+
 def _tendency_vector(order):
     mp = microphysics_2m_params(with_ice=True, quadrature_order=order)
     out = []
-    for (rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
-         q_ice, n_ice, q_rim, b_rim) in STATES:
-        f = lambda v: jnp.asarray(v, jnp.float64)
-        pstate = P3.state_from_prognostic(
-            mp.ice.scheme, f(q_ice * rho), f(n_ice * rho),
-            f(q_rim * rho), f(b_rim * rho))
-        loglam = P3.get_distribution_loglambda(pstate)
-        rates = bulk_tendencies_2m(
-            mp, TPS, f(rho), f(T), f(q_tot), f(q_lcl), f(n_lcl),
-            f(q_rai), f(n_rai), f(q_ice), f(n_ice), f(q_rim), f(b_rim),
-            loglam)
+    for row in STATES:
+        rates = _rates(mp, *(jnp.asarray(v, jnp.float64) for v in row))
         out.extend(float(v) for v in rates)
     return np.array(out)
 

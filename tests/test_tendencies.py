@@ -282,6 +282,30 @@ class TestGraftEntry:
 
 
 class TestColumnP3:
+    # order-16 quadrature: the column-step contract under test (finiteness,
+    # warm start, sedimentation transport) is order-independent, and the
+    # reduced order keeps the compile fast on the CPU test backend
+    @staticmethod
+    def _mp():
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        return microphysics_2m_params(with_ice=True, quadrature_order=16)
+
+    @staticmethod
+    def _step(state, guess=None):
+        from cloudmicrophysics_tpu.models.column import step_column_p3
+
+        if not hasattr(TestColumnP3, "_step_jit"):
+            mp = TestColumnP3._mp()
+            TestColumnP3._step_jit = jax.jit(
+                lambda s, g, dt, dz: step_column_p3(s, mp, TPS, dt, dz, g),
+                static_argnames=())
+            TestColumnP3._step_jit_cold = jax.jit(
+                lambda s, dt, dz: step_column_p3(s, mp, TPS, dt, dz))
+        if guess is None:
+            return TestColumnP3._step_jit_cold(state, 1.0, 100.0)
+        return TestColumnP3._step_jit(state, guess, 1.0, 100.0)
+
     def _state(self, ncol=4, nlev=8):
         f = lambda v: jnp.full((ncol, nlev), v, jnp.float32)
         from cloudmicrophysics_tpu.models.column import ColumnStateP3
@@ -292,13 +316,8 @@ class TestColumnP3:
             n_ice=f(1e5), q_rim=f(1e-4), b_rim=f(2e-7))
 
     def test_step_runs_and_stays_finite(self):
-        from cloudmicrophysics_tpu.models.column import step_column_p3
-        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
-
-        mp = microphysics_2m_params(with_ice=True)
         st = self._state()
-        new, loglam = jax.jit(
-            lambda s: step_column_p3(s, mp, TPS, 1.0, 100.0))(st)
+        new, loglam = self._step(st)
         assert np.isfinite(np.asarray(loglam)).all()
         for name in new._fields:
             v = np.asarray(getattr(new, name))
@@ -312,14 +331,10 @@ class TestColumnP3:
         # warm-start contract (reference
         # test/p3_shape_solver_warmstart_tests.jl:22-90): any guess must
         # reproduce the cold-start step to rtol 1e-3 (F32)
-        from cloudmicrophysics_tpu.models.column import step_column_p3
-        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
-
-        mp = microphysics_2m_params(with_ice=True)
         st = self._state()
-        st1, loglam1 = step_column_p3(st, mp, TPS, 1.0, 100.0)
-        cold, _ = step_column_p3(st1, mp, TPS, 1.0, 100.0)
-        warm, _ = step_column_p3(st1, mp, TPS, 1.0, 100.0, loglam1)
+        st1, loglam1 = self._step(st)
+        cold, _ = self._step(st1)
+        warm, _ = self._step(st1, loglam1)
         for name in cold._fields:
             np.testing.assert_allclose(
                 np.asarray(getattr(warm, name)),
@@ -328,9 +343,8 @@ class TestColumnP3:
 
     def test_ice_sediments_downward(self):
         from cloudmicrophysics_tpu.models.column import step_column_p3
-        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
-        mp = microphysics_2m_params(with_ice=True)
+        mp = self._mp()
         st = self._state(ncol=2, nlev=12)
         # ice only in the top half; cold column so it doesn't melt
         mask = np.zeros((2, 12), np.float32)
@@ -344,10 +358,10 @@ class TestColumnP3:
             q_rai=jnp.zeros((2, 12), jnp.float32),
             n_rai=jnp.zeros((2, 12), jnp.float32),
         )
-        new = st
-        guess = None
-        for _ in range(5):
-            new, guess = step_column_p3(new, mp, TPS, 5.0, 50.0, guess)
+        step = jax.jit(lambda s, g: step_column_p3(s, mp, TPS, 5.0, 50.0, g))
+        new, guess = jax.jit(lambda s: step_column_p3(s, mp, TPS, 5.0, 50.0))(st)
+        for _ in range(4):
+            new, guess = step(new, guess)
         before = np.asarray(st.q_ice)[0, :8].sum()
         after = np.asarray(new.q_ice)[0, :8].sum()
         assert after > before  # ice mass moved into the lower levels
