@@ -10,6 +10,15 @@ prints ONE JSON line:
 throughput of 2e7 grid-points/s for the fused 1M kernel on the reference's
 single-GPU CUDA path (the reference reports, but does not publish, GPU
 numbers — see BASELINE.md; its CI enforces only per-call CPU budgets).
+
+Timing methodology (both lessons learned on the remote-TPU runtime):
+
+* every iteration mixes an iteration-dependent perturbation into the input
+  so no two dispatches see bit-identical buffers (the runtime can serve
+  repeated identical executions from cache, inflating throughput >50x);
+* the clock stops on a HOST READBACK of a scalar reduced from the final
+  state — ``jax.block_until_ready`` returns without waiting on the
+  experimental remote platform, so readback is the only trustworthy fence.
 """
 
 import json
@@ -23,26 +32,32 @@ BASELINE_GRID_POINTS_PER_S = 2e7
 def main():
     import jax
 
-    from __graft_entry__ import _build
+    from __graft_entry__ import _build, _enable_compile_cache
 
     import jax.numpy as jnp
 
-    ncol, nlev = 4096, 128
+    _enable_compile_cache()
+
+    ncol, nlev = 262144, 128
     step, state = _build(ncol=ncol, nlev=nlev, dtype=jnp.float32)
-    step_jit = jax.jit(step)
 
-    # warm up / compile
-    out = step_jit(state)
-    jax.block_until_ready(out)
+    @jax.jit
+    def step_perturbed(s, i):
+        # keep input buffers bit-fresh every iteration
+        s = s._replace(q_tot=s.q_tot * (1.0 + 1e-4 * i) + 1e-9 * (1.0 + i))
+        return step(s)
 
-    # run: iterate the step to amortize dispatch
-    n_iter = 50
+    # warm up / compile; readback forces execution
+    s = step_perturbed(state, jnp.float32(0.0))
+    _ = float(jnp.sum(s.q_rai))
+
+    n_iter = 30
     t0 = time.perf_counter()
-    s = state
-    for _ in range(n_iter):
-        s = step_jit(s)
-    jax.block_until_ready(s)
+    for i in range(n_iter):
+        s = step_perturbed(s, jnp.float32(i + 1))
+    checksum = float(jnp.sum(s.q_rai))  # host readback = the timing fence
     t1 = time.perf_counter()
+    assert np.isfinite(checksum)
 
     pts_per_s = ncol * nlev * n_iter / (t1 - t0)
     print(json.dumps({

@@ -21,6 +21,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _first_leaf_sum(x):
+    # reduce over EVERY leaf: a pass-through output (e.g. rho) aliases its
+    # input buffer and would not force the execution that produced the rest
+    import jax
+    import jax.numpy as jnp
+
+    return float(sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(x)))
+
+
 def _throughput(step, args, n_pts, n_iter=30):
     """Time a self-map ``x1 = step(*args)`` chained as ``step(x1, ...)``.
 
@@ -28,17 +37,18 @@ def _throughput(step, args, n_pts, n_iter=30):
     its first argument to a like-structured output), so each call has
     fresh input buffers. Same-args timing loops are NOT trustworthy on
     this stack: the remote TPU runtime can serve repeated identical
-    executions from cache, inflating throughput by >50x.
+    executions from cache, inflating throughput by >50x. The clock stops
+    on a HOST READBACK of a scalar reduced from the final state —
+    ``jax.block_until_ready`` returns without waiting on the experimental
+    remote platform, so readback is the only trustworthy fence.
     """
-    import jax
-
     x, rest = args[0], args[1:]
     x = step(x, *rest)
-    jax.block_until_ready(x)
+    _first_leaf_sum(x)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         x = step(x, *rest)
-    jax.block_until_ready(x)
+    _first_leaf_sum(x)  # readback = timing fence
     dt = time.perf_counter() - t0
     return n_pts * n_iter / dt
 

@@ -59,6 +59,34 @@ _collision_sources = jax.jit(P3P.bulk_liquid_ice_collision_sources,
                              static_argnames=("quad",))
 
 
+class TestGammaLadders:
+    def test_matches_direct_moments(self):
+        # the two-sided ladder must reproduce gamma_inc_moment composition
+        # (the reference's moment-by-moment flux evaluation,
+        # src/P3_processes.jl:344-415) for consecutive exponents
+        from cloudmicrophysics_tpu.ops.p3_processes import (
+            _endpoint_ladders,
+            _moments_from_ladders,
+        )
+
+        rng = np.random.default_rng(3)
+        nn = 256
+        alpha = jnp.asarray(10 ** rng.uniform(2, 5, nn))
+        D1 = jnp.asarray(10 ** rng.uniform(-6, -3.2, nn))
+        D2 = D1 * jnp.asarray(10 ** rng.uniform(0.1, 2, nn))
+        for z0 in (1.0, 2.65):
+            tiny = jnp.finfo(jnp.float64).tiny
+            a_s = jnp.maximum(alpha, tiny)
+            l1 = _endpoint_ladders(z0, a_s, D1)
+            l2 = _endpoint_ladders(z0, a_s, D2)
+            J = _moments_from_ladders(z0, alpha, a_s, l1, l2, D1, D2)
+            for m in range(6):
+                direct = P3.gamma_inc_moment(D1, D2, z0 - 1 + m, alpha)
+                np.testing.assert_allclose(
+                    np.asarray(J[m]), np.asarray(direct), rtol=5e-11,
+                    err_msg=f"z0={z0} m={m}")
+
+
 class TestHetNucleation:
     def test_rates(self):
         dN, dL = P3P.het_ice_nucleation(
