@@ -534,6 +534,18 @@ def get_distribution_loglambda(state: P3State, loglambda_guess=None,
     return jnp.where(empty, jnp.asarray(-jnp.inf, dt), root)
 
 
+def get_distribution_loglambda_from_prognostic(
+        params: ParametersP3, rho_q_ice, rho_n_ice, rho_q_rim, rho_b_rim,
+        loglambda_guess=None):
+    """Shape solve directly from volumetric prognostics — sugar over
+    :func:`state_from_prognostic` + :func:`get_distribution_loglambda`
+    (reference src/P3_size_distribution.jl `get_distribution_logλ_from_prognostic`,
+    tested in test/ad_compat_tests.jl:186-194)."""
+    state = state_from_prognostic(params, rho_q_ice, rho_n_ice,
+                                  rho_q_rim, rho_b_rim)
+    return get_distribution_loglambda(state, loglambda_guess)
+
+
 # ---------------------------------------------------------------------------
 # Integral properties (reference src/P3_integral_properties.jl)
 # ---------------------------------------------------------------------------
