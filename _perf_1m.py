@@ -24,7 +24,9 @@ tv = terminal_velocity_params()
 
 def bench(name, fn, donate=False):
     f = jax.jit(fn, donate_argnums=(0,) if donate else ())
-    s = f(state, jnp.float32(0.0))
+    # warm up on a private copy: with donation the input buffers are
+    # deleted, and the module-level `state` must survive for later benches
+    s = f(jax.tree_util.tree_map(jnp.copy, state), jnp.float32(0.0))
     _ = float(jnp.sum(s.q_rai))  # force
     n = 20
     t0 = time.perf_counter()

@@ -540,7 +540,7 @@ def get_distribution_loglambda_from_prognostic(
     """Shape solve directly from volumetric prognostics — sugar over
     :func:`state_from_prognostic` + :func:`get_distribution_loglambda`
     (reference src/P3_size_distribution.jl `get_distribution_logλ_from_prognostic`,
-    tested in test/ad_compat_tests.jl:186-194)."""
+    tested in test/ad_compat_tests.jl:178-186)."""
     state = state_from_prognostic(params, rho_q_ice, rho_n_ice,
                                   rho_q_rim, rho_b_rim)
     return get_distribution_loglambda(state, loglambda_guess)
