@@ -39,7 +39,11 @@ def main():
     _enable_compile_cache()
 
     ncol, nlev = 262144, 128
-    step, state = _build(ncol=ncol, nlev=nlev, dtype=jnp.float32)
+    # Pallas-tiled step: one HBM pass per field (the XLA-fused step spills
+    # intermediates between its fusions — measured 11.1 vs 7.2 ms/step on
+    # v5e at this shape)
+    step, state = _build(ncol=ncol, nlev=nlev, dtype=jnp.float32,
+                         pallas=True, block_cols=128)
 
     @jax.jit
     def step_perturbed(s, i):

@@ -94,18 +94,36 @@ def step_column_1m(
     Everything is one jit-able function of the column state — the natural
     unit for Pallas fusion and for pjit sharding over the column axis.
     """
+    # PSD parameters computed ONCE and shared between the process rates and
+    # the sedimentation velocities (the clamps mirror
+    # microphysics_source_terms_1m so the shared sd is identical)
+    from ..utils.special import clamp_to_nonneg
+
+    micro = MicroState(
+        clamp_to_nonneg(state.q_tot), clamp_to_nonneg(state.q_lcl),
+        clamp_to_nonneg(state.q_icl), clamp_to_nonneg(state.q_rai),
+        clamp_to_nonneg(state.q_sno))
+    thermo = ThermoState(clamp_to_nonneg(state.rho), state.T)
+    sd = CM1.size_distr_parameters(mp, micro, thermo)
+
     rates = BMT.bulk_tendencies_1m(
         mp, tps, state.rho, state.T,
         state.q_tot, state.q_lcl, state.q_icl, state.q_rai, state.q_sno,
         mode=mode, dt=dt, nsub=nsub,
+        sd=sd if mode != "linearized_average" else None,
     )
 
     # terminal velocities for sedimentation (per reference
-    # src/parameters/TerminalVelocity.jl:356-366 usage table)
+    # src/parameters/TerminalVelocity.jl:356-366 usage table), sharing the
+    # PSD solve with the process rates
     w_rai = CM1.terminal_velocity(
-        mp.precip.rain, mp.terminal_velocity.rain, state.rho, state.q_rai)
+        mp.precip.rain, mp.terminal_velocity.rain, state.rho, state.q_rai,
+        v0=sd.v0_rai, lambda_inv=sd.lambda_inv_rai,
+        log_lambda_inv=sd.log_lambda_inv_rai)
     w_sno = CM1.terminal_velocity(
-        mp.precip.snow, mp.terminal_velocity.snow, state.rho, state.q_sno)
+        mp.precip.snow, mp.terminal_velocity.snow, state.rho, state.q_sno,
+        v0=sd.v0_sno, lambda_inv=sd.lambda_inv_sno,
+        log_lambda_inv=sd.log_lambda_inv_sno)
 
     sed_rai = sedimentation_tendency(state.rho, state.q_rai, w_rai, dz)
     sed_sno = sedimentation_tendency(state.rho, state.q_sno, w_sno, dz)

@@ -84,10 +84,14 @@ class Tendencies1M(NamedTuple):
 def microphysics_source_terms_1m(
     mp: Microphysics1MParams, tps: TPS,
     rho, T, q_tot, q_lcl, q_icl, q_rai, q_sno,
+    sd=None,
 ) -> SourceTerms1M:
     """All individual 1M source terms in a single fused pass — the single
     source of truth for process routing
-    (reference src/BulkMicrophysicsTendencies.jl:141-217)."""
+    (reference src/BulkMicrophysicsTendencies.jl:141-217).
+
+    ``sd``: optionally pass precomputed :class:`CM1.SizeDistParams` (the
+    column step shares them with the sedimentation velocities)."""
     rho = clamp_to_nonneg(rho)
     q_tot = clamp_to_nonneg(q_tot)
     q_lcl = clamp_to_nonneg(q_lcl)
@@ -99,7 +103,8 @@ def microphysics_source_terms_1m(
     thermo = ThermoState(rho, T)
 
     # Compute-once pattern: pow-heavy PSD parameters shared by all rates
-    sd = CM1.size_distr_parameters(mp, micro, thermo)
+    if sd is None:
+        sd = CM1.size_distr_parameters(mp, micro, thermo)
 
     zero = jnp.zeros_like(T)
     is_warm = T >= tps.T_freeze
@@ -359,7 +364,7 @@ def bulk_tendencies_0m(mp: Microphysics0MParams, tps: TPS,
 def bulk_tendencies_1m(
     mp: Microphysics1MParams, tps: TPS,
     rho, T, q_tot, q_lcl, q_icl, q_rai, q_sno,
-    mode: str = "instantaneous", dt=None, nsub: int = 1,
+    mode: str = "instantaneous", dt=None, nsub: int = 1, sd=None,
 ):
     """1-moment fused tendencies.
 
@@ -372,11 +377,11 @@ def bulk_tendencies_1m(
     """
     if mode == "instantaneous":
         src = microphysics_source_terms_1m(
-            mp, tps, rho, T, q_tot, q_lcl, q_icl, q_rai, q_sno)
+            mp, tps, rho, T, q_tot, q_lcl, q_icl, q_rai, q_sno, sd)
         return aggregate_tendencies_1m(src)
     if mode == "instantaneous_verbose":
         src = microphysics_source_terms_1m(
-            mp, tps, rho, T, q_tot, q_lcl, q_icl, q_rai, q_sno)
+            mp, tps, rho, T, q_tot, q_lcl, q_icl, q_rai, q_sno, sd)
         return aggregate_tendencies_1m(src), src
     if mode != "linearized_average":
         raise ValueError(f"unknown tendency mode {mode!r}")

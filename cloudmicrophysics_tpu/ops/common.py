@@ -158,19 +158,28 @@ def a_w_ice(tps: TPS, T):
 def chen2022_vel_coeffs_rain(coeffs: Chen2022VelTypeRain, rho_a):
     """Table B1 coefficients evaluated at air density; unit-converted
     (reference src/Common.jl:290-302)."""
+    import math
+
     rho_a = jnp.maximum(rho_a, jnp.zeros_like(rho_a))
-    q = jnp.exp(coeffs.rho0 * rho_a)
     a1, a2, a3 = coeffs.a
     b1, b2, b3 = coeffs.b
     c1, c2, c3 = coeffs.c
-    ai = (a1 * q, a2 * q, a3 * q * rho_a**coeffs.a3_pow)
+    # all three b_i share the same rho dependence, so the three unit
+    # conversions 1000^b_i = 1000^b_const * exp(-b_rho rho ln 1000) share
+    # one exp; the exp(rho0 rho) prefactor is merged in (3 pows + 1 exp
+    # -> 2 exps + 1 log total for the a_i)
+    shared = jnp.exp(coeffs.rho0 * rho_a
+                     - coeffs.b_rho * rho_a * math.log(1000.0))
+    log_rho_a = jnp.log(rho_a)
+    ai_unit = (a1 * 1000.0**b1 * shared,
+               a2 * 1000.0**b2 * shared,
+               a3 * 1000.0**b3 * shared
+               * jnp.exp(coeffs.a3_pow * log_rho_a))
     bi = (b1 - coeffs.b_rho * rho_a,
           b2 - coeffs.b_rho * rho_a,
           b3 - coeffs.b_rho * rho_a)
-    ci = (c1, c2, c3)
-    aiu = tuple(a * 1000.0**b for a, b in zip(ai, bi))
-    ciu = tuple(c * 1000.0 for c in ci)
-    return aiu, bi, ciu
+    ciu = (c1 * 1000.0, c2 * 1000.0, c3 * 1000.0)
+    return ai_unit, bi, ciu
 
 
 def chen2022_vel_coeffs_small_ice(coeffs: Chen2022VelTypeSmallIce, rho_a, rho_i):
@@ -185,11 +194,16 @@ def chen2022_vel_coeffs_small_ice(coeffs: Chen2022VelTypeSmallIce, rho_a, rho_i)
     Es = E[0] - E[1] * log_r**2 + E[2] * sqrt_r
     Fs = -jnp.exp(F[0] - F[1] * log_r**2 + F[2] * log_r)
     Gs = 1 / (G[0] + G[1] / log_r - G[2] * log_r / rho_i)
-    ai = (Es * rho_a**As, Fs * rho_a**As)
-    bi = (Bs + rho_a * Cs, Bs + rho_a * Cs)
-    ci = (jnp.zeros_like(Gs), Gs)
-    aiu = tuple(a * 1000.0**b for a, b in zip(ai, bi))
-    ciu = tuple(c * 1000.0 for c in ci)
+    import math
+
+    # rho_a^As shared by both a_i; both b_i are identical so the unit
+    # conversion 1000^b shares one exp (4 pows -> 2 exps + 1 log)
+    bi_common = Bs + rho_a * Cs
+    rho_pow = jnp.exp(As * jnp.log(rho_a))
+    unit = jnp.exp(bi_common * math.log(1000.0))
+    aiu = (Es * rho_pow * unit, Fs * rho_pow * unit)
+    bi = (bi_common, bi_common)
+    ciu = (jnp.zeros_like(Gs), Gs * 1000.0)
     return aiu, bi, ciu
 
 
@@ -211,7 +225,10 @@ def chen2022_vel_coeffs_large_ice(coeffs: Chen2022VelTypeLargeIce, rho_a, rho_i)
     Fl = F[0] + F[1] * log_r - jnp.exp(math.log(-F[2]) - rho_i)
     Gl = 1 / (G[0] + G[1] * log_r * sqrt_r + G[2] / sqrt_r)
     Hl = H[0] + H[1] * rho_i**2 * sqrt_r + jnp.exp(math.log(-H[2]) - rho_i)
-    ai = (Bl * rho_a**Al, El * rho_a**Al * jnp.exp(Hl * rho_a))
+    # rho_a^Al shared by both a_i; Cl/Fl depend only on rho_i so their
+    # 1000^b conversions fold at trace time (2 pows -> 2 exps + 1 log)
+    rho_pow = jnp.exp(Al * jnp.log(rho_a))
+    ai = (Bl * rho_pow, El * rho_pow * jnp.exp(Hl * rho_a))
     bi = (Cl, Fl)
     ci = (jnp.zeros_like(Gl), Gl)
     aiu = tuple(a * 1000.0**b for a, b in zip(ai, bi))
@@ -227,19 +244,23 @@ def chen2022_exponential_pdf(a, b, c, lambda_inv, k: int):
     return (
         a
         * jnp.exp(
-            -delta * jnp.log(lambda_inv) - (b + delta) * jnp.log(1 / lambda_inv + c)
+            -delta * jnp.log(lambda_inv)
+            - (b + delta) * jnp.log(1 / lambda_inv + c)
+            + lgamma(b + delta)
         )
-        * jnp.exp(lgamma(b + delta))
         / gamma_delta
     )
 
 
-def chen2022_velocity_sum(aiu, bi, ciu, D):
+def chen2022_velocity_sum(aiu, bi, ciu, D, log_D=None):
     """Pointwise terminal velocity: sum_k a_k D^b_k exp(-c_k D)
-    (reference src/Common.jl:361-381). Fused as exp(b log D - c D)."""
+    (reference src/Common.jl:361-381). Fused as exp(b log D - c D); pass
+    ``log_D`` when the caller already has it to skip the log."""
+    if log_D is None:
+        log_D = jnp.log(D)
     total = None
     for a, b, c in zip(aiu, bi, ciu):
-        term = a * jnp.exp(b * jnp.log(D) - c * D)
+        term = a * jnp.exp(b * log_D - c * D)
         total = term if total is None else total + term
     return total
 

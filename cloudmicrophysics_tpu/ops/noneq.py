@@ -154,14 +154,19 @@ def terminal_velocity(sediment, vel, rho_a, q):
     safe_q = clamp_to_nonneg(q)
     if isinstance(vel, StokesRegimeVelType):
         prefactor = (1.0 / 18.0) * (vel.rho_w / rho_a - 1) * vel.grav / vel.nu_air
-        D = (6 / PI * rho_a * safe_q / sediment.N_0 / sediment.rho_w) ** (1 / 3)
-        fall_w = prefactor * D**2
+        # D^2 with D = x^(1/3): one exp((2/3) log x) instead of pow + square
+        log_x = jnp.log(6 / PI * rho_a * safe_q / sediment.N_0 / sediment.rho_w)
+        fall_w = prefactor * jnp.exp((2.0 / 3.0) * log_x)
     elif isinstance(vel, Chen2022VelTypeSmallIce):
         aiu, bi, ciu = CO.chen2022_vel_coeffs_small_ice(
             vel, rho_a, sediment.rho_i)
-        D = (6 / PI * rho_a * safe_q / sediment.N_0 / sediment.rho_i) ** (1 / 3)
-        D = jnp.maximum(D, jnp.asarray(jnp.finfo(dt).tiny, dt))
-        fall_w = clamp_to_nonneg(CO.chen2022_velocity_sum(aiu, bi, ciu, D))
+        # log D computed once and shared with the velocity sum
+        log_D = jnp.log(
+            6 / PI * rho_a * safe_q / sediment.N_0 / sediment.rho_i) / 3.0
+        log_D = jnp.maximum(log_D, jnp.log(jnp.asarray(jnp.finfo(dt).tiny, dt)))
+        D = jnp.exp(log_D)
+        fall_w = clamp_to_nonneg(
+            CO.chen2022_velocity_sum(aiu, bi, ciu, D, log_D=log_D))
     else:
         raise TypeError(f"unsupported cloud sedimentation velocity {type(vel)}")
     return jnp.where(q > eps, fall_w, jnp.zeros_like(fall_w))

@@ -51,15 +51,19 @@ class TestColumn1MPallas:
 
     def test_block_independence(self):
         # different tilings give the same answer (columns are independent;
-        # the level axis stays whole)
+        # the level axis stays whole). ULP-level tolerance, not bitwise:
+        # XLA:CPU's vectorized exp/log lowering may round differently for
+        # different tile shapes (SIMD width / tail handling), and the fused
+        # step is exp/log-heavy by design.
         state = _state(32, 8, jnp.float32)
         a = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
                                   block_cols=32, interpret=True)
         b = step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
                                   block_cols=8, interpret=True)
         for name in a._fields:
-            np.testing.assert_array_equal(np.asarray(getattr(a, name)),
-                                          np.asarray(getattr(b, name)))
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                rtol=1e-6, atol=0.0, err_msg=name)
 
     def test_bad_tiling_raises(self):
         state = _state(20, 8, jnp.float32)
