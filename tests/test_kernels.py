@@ -71,6 +71,40 @@ class TestColumn1MPallas:
             step_column_1m_pallas(state, MP, TPS, TV, 1.0, 100.0,
                                   block_cols=16, interpret=True)
 
+    def test_q_tot_affine_matches_prescaled_input(self):
+        # in-kernel q_tot affine == scaling the field before the call
+        state = _state(16, 8, jnp.float32)
+        a = step_column_1m_pallas(
+            state._replace(q_tot=state.q_tot * 1.01 + 2e-9),
+            MP, TPS, TV, 1.0, 100.0, block_cols=8, interpret=True)
+        b = step_column_1m_pallas(
+            state, MP, TPS, TV, 1.0, 100.0, block_cols=8, interpret=True,
+            q_tot_affine=(1.01, 2e-9))
+        for name in a._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                rtol=1e-6, err_msg=name)
+
+    def test_packed_state_matches_xla(self):
+        from cloudmicrophysics_tpu.kernels.column1m import (
+            pack_state, step_column_1m_pallas_packed, unpack_state)
+
+        state = _state(16, 8, jnp.float32)
+        ref = step_column_1m(state, MP, TPS, TV, 1.0, 100.0)
+        packed = pack_state(state)
+        rt = unpack_state(packed)
+        for name in ref._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state, name)),
+                np.asarray(getattr(rt, name)), err_msg=name)
+        out = unpack_state(step_column_1m_pallas_packed(
+            packed, MP, TPS, TV, 1.0, 100.0, block_cols=8, interpret=True))
+        for name in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, name)),
+                np.asarray(getattr(out, name)), rtol=2e-5, atol=2e-9,
+                err_msg=name)
+
 
 class TestColumn2MPallas:
     def test_matches_xla_fused_path(self):
