@@ -24,15 +24,21 @@ def pstate(s):
 ps = pstate(st)
 ll = P3.get_distribution_loglambda(ps)
 
+def _force(o):
+    # host readback = the only trustworthy fence on the remote platform
+    leaves = jax.tree_util.tree_leaves(o)
+    return float(jnp.sum(leaves[0]))
+
+
 def bench(name, fn, *args, n=20):
     g = jax.jit(fn)
-    o = jax.block_until_ready(g(*args))
+    o = g(*args); _force(o)
     t0 = time.perf_counter()
     for _ in range(n):
         o = g(*args)
-    jax.block_until_ready(o)
+    _force(o)
     dt = time.perf_counter() - t0
-    print(f"{name:28s} {dt/n*1e3:8.2f} ms/call  {N*n/dt:.3g} pts/s")
+    print(f"{name:28s} {dt/n*1e3:8.2f} ms/call  {N*n/dt:.3g} pts/s", flush=True)
 
 bench("state+shape_solve", lambda s: P3.get_distribution_loglambda(pstate(s)), st)
 bench("state+shape_solve warm", lambda s, g: P3.get_distribution_loglambda(pstate(s), g), st, ll)

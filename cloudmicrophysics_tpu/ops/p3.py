@@ -403,7 +403,8 @@ def size_distribution(state: P3State, loglambda):
 # Shape solver (reference src/P3_size_distribution.jl:240-353)
 # ---------------------------------------------------------------------------
 
-def _brent_fixed(f, lo, f_lo, hi, f_hi, n_iters: int):
+def _brent_fixed(f, lo, f_lo, hi, f_hi, n_iters: int,
+                 unroll=None):
     """Fixed-iteration branchless Brent's method (Press et al. ``zbrent``).
 
     Runs exactly ``n_iters`` iterations (no early exit — warp convergence;
@@ -478,8 +479,20 @@ def _brent_fixed(f, lo, f_lo, hi, f_hi, n_iters: int):
         fb_new = f(b_new)
         return a_new, fa_new, b_new, fb_new, c, fc, d_new, e_new
 
+    # unroll on TPU when f is cheap (e.g. the collision crossover solve):
+    # the 8 loop carries are full-size arrays and a rolled loop round-trips
+    # them through HBM every iteration. Callers whose f is itself a large
+    # graph (the shape solver: gamma_inc segment moments per iteration)
+    # pass unroll=False — there the 8x HLO duplication blows up compile
+    # time for a minor runtime gain (the gamma_inc loops inside the body
+    # are already unrolled; see utils.special.loop_unroll).
+    if unroll is None:
+        from ..utils.special import loop_unroll
+
+        unroll = loop_unroll()
     a, fa, b, fb, c, fc, d, e = lax.fori_loop(
-        0, n_iters, body, (a, fa, b, fb, c, fc, d, e))
+        0, n_iters, body, (a, fa, b, fb, c, fc, d, e),
+        unroll=unroll)
     # return the best of the final pair
     return jnp.where(jnp.abs(fb) <= jnp.abs(fc), b, c)
 
@@ -529,7 +542,8 @@ def get_distribution_loglambda(state: P3State, loglambda_guess=None,
         f_lo = jnp.where(right, f_p, f_lo)
 
     n_iters = 10 if dt == jnp.float64 else 8
-    root = _brent_fixed(shape_problem, lo, f_lo, hi, f_hi, n_iters)
+    root = _brent_fixed(shape_problem, lo, f_lo, hi, f_hi, n_iters,
+                        unroll=False)
     root = jnp.where(degenerate, endpoint, root)
     return jnp.where(empty, jnp.asarray(-jnp.inf, dt), root)
 

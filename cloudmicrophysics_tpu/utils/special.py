@@ -214,6 +214,23 @@ def _maxiters(dt) -> int:
     return 30 if dt == jnp.float64 else 20
 
 
+def loop_unroll() -> bool:
+    """Whether fixed-trip solver loops should fully unroll.
+
+    Unrolling is numerics-identical (same operations, same order) but
+    changes the compiled form: on TPU the rolled loops round-trip their
+    full-size array carries through HBM every iteration — unrolling fuses
+    the whole solve into one kernel with carries in registers (measured
+    1.3-8x on the P3 collision/crossover kernels, v5e). On CPU the same
+    unrolling inflates the LLVM-JIT'd program enough to crash XLA:CPU on
+    the biggest P3 graphs (known code-memory exhaustion), so CPU keeps the
+    rolled form. Backend-conditional COMPILATION, identical MATH.
+    """
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _gamma_inc_core(a, x, lgamma_a):
     """Both-branch evaluation of (P, Q); inputs must share a float dtype."""
     dt = a.dtype
@@ -240,7 +257,9 @@ def _gamma_inc_core(a, x, lgamma_a):
         return term, sum_p + term
 
     term0 = one / a_safe
-    _, sum_p = lax.fori_loop(1, n + 1, series_body, (term0, term0))
+    # see loop_unroll: register-resident carries on TPU, rolled on CPU
+    _, sum_p = lax.fori_loop(1, n + 1, series_body, (term0, term0),
+                             unroll=loop_unroll())
     P_series = jnp.clip(factor * sum_p, zero, one)
 
     # --- Continued fraction (Lentz) branch: Q(a,x) ----------------------
@@ -262,7 +281,8 @@ def _gamma_inc_core(a, x, lgamma_a):
         d = 1 / d
         return c, d, h * (c * d)
 
-    _, _, h = lax.fori_loop(1, n + 1, cf_body, (c0, d0, h0))
+    _, _, h = lax.fori_loop(1, n + 1, cf_body, (c0, d0, h0),
+                            unroll=loop_unroll())
     Q_cf = jnp.clip(factor * h, zero, one)
 
     P = jnp.where(use_series, P_series, one - Q_cf)
@@ -387,14 +407,20 @@ def _gamma_inc_inv_impl(a, p, q):
     tiny = jnp.asarray(floatmin(dt), dt)
     eps = jnp.asarray(machine_eps(dt), dt)
 
-    # Initial guess (src/Utilities.jl:212-217)
+    # Initial guess (src/Utilities.jl:212-217), with a DiDonato–Morris-
+    # style region fix beyond the reference: the series-inversion guess
+    # (p Gamma(a+1))^(1/a) is the right start whenever it lands in the
+    # small-x regime (< 1/2), not only for p < 0.5. For small a the true
+    # root can be ~1e-3 at p ~ 0.6; started from a - log(q) ~ 1, fifteen
+    # positivity-halving Halley steps cannot reach it and the inverse
+    # returns garbage (the reference inherits exactly this failure).
     p_safe = jnp.maximum(p, tiny)
     q_safe = jnp.maximum(q, tiny)
     lgamma_a = _lgamma_pos(a)
     a_safe = jnp.maximum(a, tiny)
     guess_lo = jnp.exp((jnp.log(p_safe) + _lgamma_pos(a + 1)) / a_safe)
     guess_hi = a - jnp.log(q_safe)
-    x0 = jnp.where(p < 0.5, guess_lo, guess_hi)
+    x0 = jnp.where((p < 0.5) | (guess_lo < 0.5), guess_lo, guess_hi)
     x0 = jnp.maximum(x0, tiny)
 
     use_q = p > 0.5
@@ -422,7 +448,8 @@ def _gamma_inc_inv_impl(a, p, q):
         done_new = done_pre | (jnp.abs(step) < eps * x_new)
         return x, done_new.astype(dt)
 
-    x, _ = lax.fori_loop(0, _HALLEY_ITERS, body, (x0, jnp.zeros_like(x0)))
+    x, _ = lax.fori_loop(0, _HALLEY_ITERS, body,
+                         (x0, jnp.zeros_like(x0)), unroll=loop_unroll())
 
     x = jnp.where(p <= 0, jnp.asarray(0.0, dt), x)
     x = jnp.where(q <= 0, jnp.asarray(jnp.inf, dt), x)

@@ -88,6 +88,21 @@ class TestGammaInc:
         g = jax.grad(lambda a: ut.gamma_inc_inv(a, 0.4, 0.6))(jnp.float64(3.0))
         assert np.isnan(g)
 
+    def test_inverse_small_a_above_half(self):
+        # Small-a inverses with p just above 0.5: the true root is ~1e-3
+        # while the reference's a - log(q) initial guess starts near 1,
+        # out of reach of 15 positivity-halving Halley steps (the
+        # reference returns ~1e-7 here). Our guess-region fix picks the
+        # series-inversion start whenever it lands below 1/2.
+        import scipy.special as sps
+
+        pts = [(0.106926, 0.538347), (0.126223, 0.591038),
+               (0.100139, 0.651660), (0.122431, 0.657288)]
+        for a, p in pts:
+            x = float(ut.gamma_inc_inv(
+                jnp.float64(a), jnp.float64(p), jnp.float64(1 - p)))
+            assert abs(sps.gammainc(a, x) - p) < 1e-10, (a, p, x)
+
     def test_constant_a_derivative_flows(self):
         # x-derivative still flows when a is a constant
         g = jax.grad(lambda x: ut.gamma_inc(2.5, x)[0])(jnp.float64(3.0))
