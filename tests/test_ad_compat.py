@@ -255,7 +255,7 @@ class TestBMTJacobian:
 
 
 def test_loglambda_from_prognostic(mp, dtype):
-    """reference test/ad_compat_tests.jl:186-194"""
+    """reference test/ad_compat_tests.jl:178-186"""
     dt = jnp.dtype(dtype)
     p3 = mp.ice.scheme
     args = tuple(jnp.asarray(v, dt) for v in (1e-4, 1e4, 2e-5, 4e-8))
