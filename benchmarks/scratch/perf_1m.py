@@ -1,5 +1,9 @@
 """TPU perf shootout for the flagship 1M column step: XLA vs Pallas,
 with/without donation, block size sweep."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import time
 
 import jax

@@ -1,4 +1,8 @@
 """Measure pure-DMA roof vs the physics kernel at bench shape."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import time
 import jax, jax.numpy as jnp, numpy as np
 from jax.experimental import pallas as pl
@@ -45,6 +49,11 @@ def bench(name, f, x, nbytes):
 nbytes = ps.size * 4 * 2
 jc = jax.jit(copy_step)
 bench("pallas copy rw", jc, ps, nbytes)
+# use the lambda's x argument (NOT the closed-over ps) so the feedback
+# loop in bench() feeds each iteration's output back in, and start the
+# timed scalar sweep past the warm-up value — both keep every dispatch
+# bit-fresh on the remote runtime (see bench.py docstring)
 jp = jax.jit(lambda x, s: step_column_1m_pallas_packed(
-    ps, mp, tps, tv, 1.0, 100.0, block_cols=128, q_tot_affine=(s, 1e-9)))
+    x, mp, tps, tv, 1.0, 100.0, block_cols=128,
+    q_tot_affine=(1.0 + 1e-7 * s, 1e-9)))
 bench("physics packed bc=128", jp, ps, nbytes)

@@ -1,6 +1,10 @@
 """Does per-dispatch tunnel latency dominate? Compare per-step dispatch vs
 a lax.scan of n steps inside one jit (production shape: the column model
 substeps on-device)."""
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))
+
 import time
 
 import jax

@@ -27,6 +27,7 @@ from jax import Array
 
 from ..ops import m1 as CM1
 from ..ops import noneq as CMNonEq
+from ..ops import thermo as TDI
 from ..parameters.m1 import Microphysics1MParams
 from ..parameters.terminal_velocity import TerminalVelocityParams
 from ..parameters.thermodynamics import ThermodynamicsParameters
@@ -145,13 +146,17 @@ def step_column_1m(
 
     # latent heating from phase changes (vapor <-> condensate terms only
     # enter via the aggregated cloud tendencies here; full energy coupling
-    # lives in the host model)
-    Lv_over_cp = tps.LH_v0 / tps.cp_d
-    Ls_over_cp = tps.LH_s0 / tps.cp_d
+    # lives in the host model). T-dependent latent heats and moist cp match
+    # the process rates (ops/thermo mirrors reference
+    # src/ThermodynamicsInterface.jl:9-125), not the dry constants.
+    Lv = TDI.latent_heat_vapor(tps, state.T)
+    Ls = TDI.latent_heat_sublim(tps, state.T)
+    cp = TDI.cp_m(tps, micro.q_tot, micro.q_lcl + micro.q_rai,
+                  micro.q_icl + micro.q_sno)
     T_new = state.T + dt * (
-        Lv_over_cp * (rates.dq_lcl_dt + rates.dq_rai_dt)
-        + Ls_over_cp * (rates.dq_icl_dt + rates.dq_sno_dt)
-    )
+        Lv * (rates.dq_lcl_dt + rates.dq_rai_dt)
+        + Ls * (rates.dq_icl_dt + rates.dq_sno_dt)
+    ) / cp
 
     # total water loses what falls out (sedimentation of all species)
     q_tot = state.q_tot + dt * (sed_lcl + sed_icl + sed_rai + sed_sno)
@@ -197,8 +202,10 @@ def step_column_2m(state: "ColumnState2M", mp, tps: ThermodynamicsParameters,
     sed_n_rai = sedimentation_tendency(state.rho, state.n_rai, vt_n, dz)
 
     clamp = lambda q: jnp.maximum(q, jnp.zeros_like(q))
-    Lv_over_cp = tps.LH_v0 / tps.cp_d
-    T_new = state.T + dt * Lv_over_cp * (rates.dq_lcl_dt + rates.dq_rai_dt)
+    Lv = TDI.latent_heat_vapor(tps, state.T)
+    cp = TDI.cp_m(tps, state.q_tot, state.q_lcl + state.q_rai,
+                  jnp.zeros_like(state.q_lcl))
+    T_new = state.T + dt * Lv / cp * (rates.dq_lcl_dt + rates.dq_rai_dt)
     return ColumnState2M(
         rho=state.rho, T=T_new,
         q_tot=clamp(state.q_tot + dt * sed_q_rai),
@@ -210,11 +217,14 @@ def step_column_2m(state: "ColumnState2M", mp, tps: ThermodynamicsParameters,
 
 
 def _chen_or_sb(mp):
-    """Rain fall-speed parameterization for the 2M column: SB2006
-    Rogers-type by default."""
+    """Rain fall-speed parameterization for the 2M column, taken from the
+    params tree (``mp.warm_rain.terminal_velocity``): SB2006 Rogers-type
+    or Chen2022 (reference src/Microphysics2M.jl:685-739 dispatch),
+    selected via ``microphysics_2m_params(rain_velocity=...)``."""
     from ..parameters.terminal_velocity import SB2006VelType
 
-    return SB2006VelType()
+    vel = getattr(mp.warm_rain, "terminal_velocity", None)
+    return SB2006VelType() if vel is None else vel
 
 
 class ColumnStateP3(NamedTuple):
@@ -295,11 +305,12 @@ def step_column_p3(state: "ColumnStateP3", mp, tps: ThermodynamicsParameters,
     sed_q_rim = sedimentation_tendency(rho, state.q_rim, vt_m_ice, dz)
     sed_b_rim = sedimentation_tendency(rho, state.b_rim, vt_m_ice, dz)
 
-    Lv_over_cp = tps.LH_v0 / tps.cp_d
-    Lf_over_cp = (tps.LH_s0 - tps.LH_v0) / tps.cp_d
+    Lv = TDI.latent_heat_vapor(tps, state.T)
+    Lf = TDI.latent_heat_fusion(tps, state.T)
+    cp = TDI.cp_m(tps, state.q_tot, state.q_lcl + state.q_rai, state.q_ice)
     T_new = state.T + dt * (
-        Lv_over_cp * (rates.dq_lcl_dt + rates.dq_rai_dt + rates.dq_ice_dt)
-        + Lf_over_cp * rates.dq_ice_dt)
+        Lv * (rates.dq_lcl_dt + rates.dq_rai_dt + rates.dq_ice_dt)
+        + Lf * rates.dq_ice_dt) / cp
 
     clamp = lambda q: jnp.maximum(q, jnp.zeros_like(q))
     new = ColumnStateP3(

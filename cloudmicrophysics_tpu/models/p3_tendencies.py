@@ -133,12 +133,16 @@ def ice_tendencies_2m_p3(
         state.rho_rim > 0, dq_ice_melt * state.F_rim / rho_rim_safe, zero)
 
     # --- F23 deposition nucleation (vapor -> pristine ice) ---
+    # The INPC climatology comes from the params tree
+    # (reference mp.ice.ice_nucleation, Microphysics2MParams.jl:65,101)
+    # so perturbed/calibrated F23 parameters flow into both budgets.
+    f23 = ice.ice_nucleation
     tau_act = ice.inp_depletion_model.tau_act
     D_nuc = 10e-6
     m_nuc = p3.rho_i * PI / 6 * D_nuc**3
     n_active = CM_HetIce.n_active(ice.inp_depletion_model, n_ice)
     dep_n, dep_q = CM_HetIce.deposition_rate_frostenberg(
-        _f23(mp), tps, T, rho, q_tot, q_lcl + q_rai, q_ice, n_active,
+        f23, tps, T, rho, q_tot, q_lcl + q_rai, q_ice, n_active,
         m_nuc, tau_act=tau_act, inpc_log_shift=inpc_log_shift)
     dn_ice_dt = dn_ice_dt + dep_n
     dq_ice_dt = dq_ice_dt + dep_q
@@ -147,7 +151,7 @@ def ice_tendencies_2m_p3(
     cld_n, cld_q = CM_HetIce.liquid_freezing_rate_cloud(
         ice.rain_freezing, pdf_c, tps, q_lcl, rho, N_lcl, T)
     cap = CM_HetIce.immersion_limit_rate(
-        _f23(mp), T, rho, tau=tau_act, inpc_log_shift=inpc_log_shift,
+        f23, T, rho, tau=tau_act, inpc_log_shift=inpc_log_shift,
         n_active_proxy=n_active)
     dn_imm = jnp.minimum(cld_n, cap)
     cld_n_safe = jnp.where(cld_n > 0, cld_n, jnp.ones_like(cld_n))
@@ -173,9 +177,12 @@ def ice_tendencies_2m_p3(
     db_rim_dt = db_rim_dt + jnp.where(
         state.rho_rim > 0, dq_sub * state.F_rim / rho_rim_safe, zero)
 
-    # --- Ice number adjustment (mass limits; reference TODO params) ---
+    # --- Ice number adjustment (mass limits; reference
+    # BulkMicrophysicsTendencies.jl:1056-1064, TODO values promoted into
+    # IceNumberAdjustment on the params tree) ---
+    na = ice.numadj
     dn_ice_dt = dn_ice_dt + CM2.number_tendency_from_mass_limits(
-        1e-12, 1e-5, 100.0, q_ice, n_ice)
+        na.x_min, na.x_max, na.tau, q_ice, n_ice)
 
     # --- Bigg rain freezing (fully rimed) ---
     rf_n, rf_q = CM_HetIce.liquid_freezing_rate_rain(
@@ -189,10 +196,3 @@ def ice_tendencies_2m_p3(
 
     return Tendencies2M(dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt,
                         dq_ice_dt, dn_ice_dt, dq_rim_dt, db_rim_dt)
-
-
-def _f23(mp):
-    """The Frostenberg climatology used for the F23 budgets."""
-    from ..parameters.ice_nucleation import Frostenberg2023
-
-    return Frostenberg2023()

@@ -34,18 +34,33 @@ __all__ = [
 COLUMN_AXIS = "columns"
 
 
+def _distributed_is_initialized() -> bool:
+    """True iff ``jax.distributed.initialize`` has already run."""
+    state = getattr(jax._src.distributed, "global_state", None)
+    return state is not None and state.client is not None
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host initialization (``jax.distributed.initialize``).
 
-    No-op on a single host; call once at program start on pod slices.
+    Call once at program start. Idempotent: a second call is a no-op.
+    With no arguments on a plain single host (no cluster environment for
+    JAX to auto-detect) this is a no-op, so drivers can call it
+    unconditionally. When the caller supplies explicit coordination
+    arguments, genuine failures (bad coordinator address, port clash, ...)
+    propagate — they are configuration errors the caller must see.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if _distributed_is_initialized():
+        return
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError):
-        # single-process / already-initialized environments
-        pass
+        if kwargs:
+            raise  # explicit configuration that failed: surface it
+        # bare call on a single host: either no auto-detectable cluster
+        # ("coordinator_address should be defined", ValueError) or the XLA
+        # backend is already up single-process (RuntimeError) — expected
+        # no-op in both cases
 
 
 def column_mesh(devices: Optional[Sequence] = None) -> Mesh:

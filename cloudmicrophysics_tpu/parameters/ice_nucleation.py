@@ -26,8 +26,14 @@ class Frostenberg2023:
     T_freeze: float = 273.15
 
     @property
-    def log_a(self) -> float:
-        return math.log(self.a)
+    def log_a(self):
+        # host-side when `a` is a plain float; traced-safe when `a` is a
+        # calibratable JAX leaf (e.g. perturbed through the params tree)
+        if isinstance(self.a, (int, float)):
+            return math.log(self.a)
+        import jax.numpy as jnp
+
+        return jnp.log(self.a)
 
 
 @paramclass

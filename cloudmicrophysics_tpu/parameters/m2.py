@@ -289,6 +289,10 @@ class WarmRainParams2M:
     air_properties: object
     condevap: CondEvap2M
     subdep: SubDep2M
+    # Rain fall-speed parameterization used by the column driver:
+    # SB2006VelType (Rogers-type) or Chen2022VelTypeRain
+    # (reference src/Microphysics2M.jl:685-739 dispatches on this type).
+    terminal_velocity: object = None
 
 
 @paramclass
@@ -303,6 +307,7 @@ class Microphysics2MParams:
 
 def microphysics_2m_params(is_limited: bool = True,
                            with_ice: bool = False,
+                           rain_velocity: str = "sb2006",
                            **kwargs) -> Microphysics2MParams:
     ice = None
     if with_ice:
@@ -310,13 +315,18 @@ def microphysics_2m_params(is_limited: bool = True,
 
         ice = p3_ice_params(**kwargs)
     from .common import AirProperties
+    from .terminal_velocity import Chen2022VelTypeRain, SB2006VelType
 
+    assert rain_velocity in ("sb2006", "chen2022")
+    vel = (SB2006VelType() if rain_velocity == "sb2006"
+           else Chen2022VelTypeRain())
     return Microphysics2MParams(
         warm_rain=WarmRainParams2M(
             seifert_beheng=sb2006(is_limited=is_limited),
             air_properties=AirProperties(),
             condevap=CondEvap2M(),
             subdep=SubDep2M(),
+            terminal_velocity=vel,
         ),
         ice=ice,
     )

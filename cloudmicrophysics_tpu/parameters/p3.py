@@ -113,17 +113,32 @@ def parameters_p3(slope_law: str = "powerlaw",
 
 
 @paramclass
+class IceNumberAdjustment:
+    """Ice number relaxation toward valid mean-particle-mass bounds.
+
+    Defaults are the reference's inline TODO values
+    (src/BulkMicrophysicsTendencies.jl:1058-1062): tau = 100 s,
+    x_min ~ 10 um crystal, x_max ~ 5 mm aggregate.
+    """
+
+    tau: float = 100.0           # [s]
+    x_min: float = 1e-12         # min mean ice particle mass [kg]
+    x_max: float = 1e-5          # max mean ice particle mass [kg]
+
+
+@paramclass
 class P3IceParams:
     """2M+P3 ice configuration container
-    (reference src/parameters/Microphysics2MParams.jl:88-162)."""
+    (reference src/parameters/Microphysics2MParams.jl:55-110)."""
 
     scheme: ParametersP3
     terminal_velocity: object      # Chen2022VelType
     cloud_pdf: object              # CloudParticlePDF_SB2006
     rain_pdf: object               # RainParticlePDF_SB2006
-    ice_nucleation: object         # MorrisonMilbrandt2014
+    ice_nucleation: object         # Frostenberg2023 (empirical INP closure)
     rain_freezing: object          # RainFreezing
     inp_depletion_model: object    # NIceProxyDepletion
+    numadj: IceNumberAdjustment = None
     quadrature_order: int = static_field(16)
     # Tabulated (pytree-leaf tables) so the quadrature rides into Pallas
     # kernels as an operand rather than a captured constant.
@@ -131,9 +146,10 @@ class P3IceParams:
 
 
 def p3_ice_params(quadrature_order: int = 16, slope_law: str = "powerlaw",
-                  aspect_ratio: str = OBLATE) -> P3IceParams:
+                  aspect_ratio: str = OBLATE,
+                  ice_nucleation=None) -> P3IceParams:
     from .ice_nucleation import (
-        MorrisonMilbrandt2014,
+        Frostenberg2023,
         NIceProxyDepletion,
         RainFreezing,
     )
@@ -145,9 +161,13 @@ def p3_ice_params(quadrature_order: int = 16, slope_law: str = "powerlaw",
         terminal_velocity=chen2022_vel_type(),
         cloud_pdf=cloud_pdf_sb2006(),
         rain_pdf=RainParticlePDF_SB2006(),
-        ice_nucleation=MorrisonMilbrandt2014(),
+        # F23 INPC climatology drives both the deposition-nucleation and
+        # immersion-cap budgets (reference Microphysics2MParams.jl:65,101).
+        ice_nucleation=(Frostenberg2023() if ice_nucleation is None
+                        else ice_nucleation),
         rain_freezing=RainFreezing(),
         inp_depletion_model=NIceProxyDepletion(),
+        numadj=IceNumberAdjustment(),
         quadrature_order=quadrature_order,
         quad=tabulate(build_quadrature(quadrature_order)),
     )

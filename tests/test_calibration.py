@@ -20,6 +20,29 @@ from cloudmicrophysics_tpu.parameters import (
 TPS = ThermodynamicsParameters()
 F = jnp.float64
 
+_EMULATOR_DATA = {}
+
+
+def _emulator_dataset():
+    """One shared (train, val) ARG dataset for all emulator tests — the
+    batched label graph compiles once per (shape, dtype), so every test
+    slicing from the same arrays avoids a fresh multi-minute XLA compile.
+    """
+    if "train" not in _EMULATOR_DATA:
+        from cloudmicrophysics_tpu.models import emulator as EM
+        from cloudmicrophysics_tpu.parameters.aerosol import (
+            AerosolActivationParameters,
+        )
+
+        ap = AerosolActivationParameters()
+        aip = AirProperties()
+        _EMULATOR_DATA["ap"], _EMULATOR_DATA["aip"] = ap, aip
+        _EMULATOR_DATA["train"] = EM.generate_training_data(
+            ap, aip, TPS, n_samples=2048, seed=1)
+        _EMULATOR_DATA["val"] = EM.generate_training_data(
+            ap, aip, TPS, n_samples=2048, seed=2)
+    return _EMULATOR_DATA
+
 
 class TestEKI:
     def test_linear_recovery(self):
@@ -95,17 +118,17 @@ class TestEmulator:
             AerosolActivationParameters,
         )
 
-        ap = AerosolActivationParameters()
-        aip = AirProperties()
-        X, y = EM.generate_training_data(ap, aip, TPS, n_samples=512,
-                                         seed=1)
+        data = _emulator_dataset()
+        ap, aip = data["ap"], data["aip"]
+        X, y = data["train"]
+        X, y = X[:512], y[:512]
         model, params, loss = EM.train_emulator(X, y, hidden=(64, 64),
                                                 n_steps=2000)
         assert loss < 0.01
         # prediction through the API reproduces ARG within tolerance on a
         # fresh sample (reference emulator harness targets ~0.1 rmse)
-        X2, y2 = EM.generate_training_data(ap, aip, TPS, n_samples=64,
-                                           seed=2)
+        X2, y2 = data["val"]
+        X2, y2 = X2[:64], y2[:64]
         pred = np.asarray(model.apply(params, jnp.asarray(X2, jnp.float32)))
         assert np.sqrt(np.mean((pred - y2) ** 2)) < 0.1
         # the mode-permutation API returns per-mode numbers
@@ -124,6 +147,62 @@ class TestEmulator:
             0.01, 0.0, 0.0)
         assert len(out) == 2
         assert 0 <= float(out[0]) <= 1e8 and 0 <= float(out[1]) <= 5e8
+
+
+class TestEmulatorGP:
+    def test_gp_family_and_api(self):
+        # second regressor family behind the same activation API
+        # (reference ext/EmulatorModelsExt.jl:32-67 swaps GP/NN/EvoTree
+        # machines; harness tolerance from
+        # test/aerosol_activation_emulators.jl:10-74)
+        from cloudmicrophysics_tpu.models import emulator as EM
+        from cloudmicrophysics_tpu.parameters.aerosol import (
+            AerosolActivationParameters,
+            AerosolDistribution,
+            ModeKappa,
+        )
+
+        data = _emulator_dataset()
+        ap, aip = data["ap"], data["aip"]
+        X, y = data["train"]
+        model, params, rmse = EM.train_emulator_gp(X, y)
+        assert rmse < 0.05
+        X2, y2 = data["val"]
+        X2, y2 = X2[:64], y2[:64]
+        pred = np.asarray(model.apply(params, X2))
+        assert np.sqrt(np.mean((pred - y2) ** 2)) < 0.1
+        mode = lambda N: ModeKappa(r_dry=5e-8, stdev=2.0, N=N,
+                                   vol_mix_ratio=(1.0,),
+                                   mass_mix_ratio=(1.0,),
+                                   molar_mass=(0.13214,), kappa=(0.53,))
+        ad = AerosolDistribution(modes=(mode(1e8), mode(5e8)))
+        out = EM.N_activated_per_mode_emulated(
+            model, params, ap, ad, aip, TPS, 290.0, 9e4, 1.0,
+            0.01, 0.0, 0.0)
+        assert len(out) == 2
+        assert 0 <= float(out[0]) <= 1e8 and 0 <= float(out[1]) <= 5e8
+
+    def test_parcel_data_pipeline(self):
+        # parcel-ensemble labels (reference ext/Common.jl:30-60): S_max
+        # from the parcel trajectory, act frac via the erf formula; the
+        # labels must be physical fractions correlated with the ARG ones
+        from cloudmicrophysics_tpu.models import emulator as EM
+        from cloudmicrophysics_tpu.parameters.aerosol import (
+            AerosolActivationParameters,
+        )
+
+        ap = AerosolActivationParameters()
+        aip = AirProperties()
+        X, y, y_arg = EM.generate_parcel_training_data(
+            ap, aip, TPS, n_samples=32, seed=3, t_end=10.0, dt=0.5,
+            return_arg_labels=True)
+        assert X.shape[0] == 32 and y.shape == (32,)
+        assert np.all((y >= 0) & (y <= 1))
+        assert np.isfinite(X).all()
+        assert y.std() > 0.01  # non-degenerate labels
+        # parcel labels track the ARG closed form on the SAME configs
+        corr = np.corrcoef(y, y_arg)[0, 1]
+        assert corr > 0.5
 
 
 class TestP3Sandbox:
