@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from __graft_entry__ import _enable_compile_cache
+
+_enable_compile_cache()
+
 from cloudmicrophysics_tpu.models.column import ColumnStateP3
 from cloudmicrophysics_tpu.ops import common as CO
 from cloudmicrophysics_tpu.ops import m2 as CM2

@@ -33,17 +33,22 @@ def log1mexp(x):
     )
 
 
-def generalized_gamma_quantile(nu, mu, B, Y):
+def generalized_gamma_quantile(nu, mu, B, Y, n_iters=None):
     """Quantile of ``g(x) = A x^nu exp(-B x^mu)``
-    (reference ``src/DistributionTools.jl:44-48``)."""
-    z = gamma_inc_inv((nu + 1) / mu, Y, 1 - Y)
+    (reference ``src/DistributionTools.jl:44-48``).
+
+    ``n_iters`` forwards to :func:`gamma_inc_inv` — integration-bound
+    call sites pass a reduced Halley count (see that docstring)."""
+    kw = {} if n_iters is None else {"n_iters": n_iters}
+    z = gamma_inc_inv((nu + 1) / mu, Y, 1 - Y, **kw)
     return (z / B) ** (1 / mu)
 
 
-def generalized_gamma_quantile_unit_mu(nu, B, Y):
+def generalized_gamma_quantile_unit_mu(nu, B, Y, n_iters=None):
     """``mu == 1`` special case — hot P3 ``integral_bounds`` path
     (reference ``src/DistributionTools.jl:57-58``)."""
-    return gamma_inc_inv(nu + 1, Y, 1 - Y) / B
+    kw = {} if n_iters is None else {"n_iters": n_iters}
+    return gamma_inc_inv(nu + 1, Y, 1 - Y, **kw) / B
 
 
 def generalized_gamma_cdf(nu, mu, B, x):

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import functools
 import math
 
 import jax
@@ -397,7 +398,7 @@ def gamma_inc_upper(a, x):
 _HALLEY_ITERS = 15  # reference src/Utilities.jl:225
 
 
-def _gamma_inc_inv_impl(a, p, q):
+def _gamma_inc_inv_impl(a, p, q, n_iters=_HALLEY_ITERS):
     dt = float_dtype(a, p, q)
     a = jnp.asarray(a, dt)
     p = jnp.asarray(p, dt)
@@ -448,7 +449,7 @@ def _gamma_inc_inv_impl(a, p, q):
         done_new = done_pre | (jnp.abs(step) < eps * x_new)
         return x, done_new.astype(dt)
 
-    x, _ = lax.fori_loop(0, _HALLEY_ITERS, body,
+    x, _ = lax.fori_loop(0, n_iters, body,
                          (x0, jnp.zeros_like(x0)), unroll=loop_unroll())
 
     x = jnp.where(p <= 0, jnp.asarray(0.0, dt), x)
@@ -457,31 +458,40 @@ def _gamma_inc_inv_impl(a, p, q):
     return jnp.where(isnan, jnp.asarray(jnp.nan, dt), x)
 
 
-@jax.custom_jvp
-def _gamma_inc_inv_cjvp(a, p, q):
-    return _gamma_inc_inv_impl(a, p, q)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3,))
+def _gamma_inc_inv_cjvp(a, p, q, n_iters):
+    return _gamma_inc_inv_impl(a, p, q, n_iters)
 
 
-def gamma_inc_inv(a, p, q):
+def gamma_inc_inv(a, p, q, n_iters=_HALLEY_ITERS):
     """Inverse of :func:`gamma_inc`: ``x`` such that ``P(a,x) = p``.
 
     Halley's method, fixed 15 iterations with convergence freezing
     (reference ``src/Utilities.jl:205-252``). The ``Q - q`` residual is used
     for ``p > 0.5`` to avoid catastrophic cancellation. Differentiable in
     ``p`` via the inverse function theorem; ``a`` tangents yield NaN.
+
+    ``n_iters`` trades precision for VPU work — each Halley step costs a
+    full fixed-trip :func:`gamma_inc`. PSD integration-bound quantiles
+    (tail windows whose integrand is ~0 at the endpoints) use 6:
+    measured <=1e-7 relative on the bound over a in [0.3, 20] at the
+    1e-5/1e-6 tails (upper-tail quantiles converge slowest from the
+    ``a - log q`` start; 4 iterations leave up to 2e-2 there), far below
+    quadrature truncation error at a 2.5x saving. The JVP (inverse
+    function theorem) is exact regardless of ``n_iters``.
     """
     if _RAW_SPECIAL.get():
-        return _gamma_inc_inv_impl(a, p, q)
-    return _gamma_inc_inv_cjvp(a, p, q)
+        return _gamma_inc_inv_impl(a, p, q, n_iters)
+    return _gamma_inc_inv_cjvp(a, p, q, n_iters)
 
 
 @lambda f: _gamma_inc_inv_cjvp.defjvp(f, symbolic_zeros=True)
-def _gamma_inc_inv_jvp(primals, tangents):
+def _gamma_inc_inv_jvp(n_iters, primals, tangents):
     a, p, q = primals
     da, dp, _dq = tangents
     dt = float_dtype(a, p, q)
     a = jnp.asarray(a, dt)
-    x = gamma_inc_inv(a, p, q)
+    x = gamma_inc_inv(a, p, q, n_iters)
     x_safe = jnp.maximum(x, jnp.asarray(floatmin(dt), dt))
     dP_dx = jnp.exp((a - 1) * jnp.log(x_safe) - x - _lgamma_pos(a))
     dx_dp = jnp.where(dP_dx > 0, 1.0 / jnp.maximum(dP_dx, floatmin(dt)), 0.0)

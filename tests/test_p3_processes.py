@@ -56,7 +56,7 @@ _ice_melt = jax.jit(P3P.ice_melt, static_argnames=("quad",))
 _ice_self_collection = jax.jit(P3P.ice_self_collection,
                                static_argnames=("quad",))
 _collision_sources = jax.jit(P3P.bulk_liquid_ice_collision_sources,
-                             static_argnames=("quad",))
+                             static_argnames=("quad", "rain_inner"))
 
 
 class TestGammaLadders:
@@ -185,6 +185,24 @@ class TestCollisions:
         s = self._sources(260.0, L_c=0.0, N_c=0.0, L_r=0.0, N_r=0.0)
         for v in s:
             np.testing.assert_allclose(float(v), 0.0, atol=1e-20)
+
+    @pytest.mark.parametrize("T", [260.0, 271.0])
+    def test_rain_inner_quadrature_matches_closed_form(self, T):
+        # the production kink-split quadrature must reproduce the
+        # reference's closed-form incomplete-gamma flux sums
+        # (src/P3_processes.jl:326-427) — same integral, two evaluation
+        # strategies. dB_rim is compared loosely: the closed-form path
+        # integrates the rime-volume integrand over the UNSPLIT rain
+        # window while the quadrature path splits at D*, and the
+        # Cober-List rime-density lookup has interior kinks that neither
+        # node placement resolves — both sit ~1e-4 from the GL64 value.
+        sq = self._sources(T, rain_inner="quadrature")
+        sc = self._sources(T, rain_inner="closed_form")
+        for name, vq, vc in zip(sq._fields, sq, sc):
+            rtol = 1e-3 if name == "dB_rim" else 2e-6
+            np.testing.assert_allclose(
+                float(vq), float(vc),
+                rtol=rtol, atol=1e-18, err_msg=name)
 
 
 class TestIceSelfCollection:
