@@ -30,7 +30,8 @@ from cloudmicrophysics_tpu.parameters import (
     microphysics_2m_params,
 )
 
-mp = microphysics_2m_params(with_ice=True)
+mp = microphysics_2m_params(with_ice=True,
+                            quadrature_order=int(os.environ.get("ORDER", 16)))
 tps = ThermodynamicsParameters()
 ncol, nlev = int(os.environ.get("PN", 4096)), 64
 N = ncol * nlev

@@ -293,13 +293,16 @@ def step_column_p3(state: "ColumnStateP3", mp, tps: ThermodynamicsParameters,
     sed_n_rai = sedimentation_tendency(rho, state.n_rai, vt_n_rai, dz)
 
     # ice sedimentation: P3 bulk fall speeds; rime advects with the bulk
-    # ice mass flux (single-category scheme — all ice falls together)
+    # ice mass flux (single-category scheme — all ice falls together).
+    # One shared node table feeds both weighted velocities.
     loglam_s = jnp.where(jnp.isfinite(loglam), loglam,
                          jnp.full_like(loglam, 8.0))
+    ice_nodes = P3.ice_quadrature_nodes(ice.terminal_velocity, rho, pstate,
+                                        loglam_s, p=1e-6, quad=ice.quad)
     vt_n_ice = P3.ice_terminal_velocity_number_weighted(
-        ice.terminal_velocity, rho, pstate, loglam_s, quad=ice.quad)
+        ice.terminal_velocity, rho, pstate, loglam_s, nodes=ice_nodes)
     vt_m_ice = P3.ice_terminal_velocity_mass_weighted(
-        ice.terminal_velocity, rho, pstate, loglam_s, quad=ice.quad)
+        ice.terminal_velocity, rho, pstate, loglam_s, nodes=ice_nodes)
     sed_q_ice = sedimentation_tendency(rho, state.q_ice, vt_m_ice, dz)
     sed_n_ice = sedimentation_tendency(rho, state.n_ice, vt_n_ice, dz)
     sed_q_rim = sedimentation_tendency(rho, state.q_rim, vt_m_ice, dz)

@@ -98,10 +98,17 @@ def ice_tendencies_2m_p3(
     dq_rim_dt = zero
     db_rim_dt = zero
 
+    # Shared ice quadrature nodes: ONE bounds solve and ONE velocity/PSD
+    # node-table evaluation feed collisions, self-collection, and melt
+    # (the reference recomputes these per integral).
+    ice_nodes = P3.ice_quadrature_nodes(vel, rho, state, loglam_s,
+                                        p=1e-6, quad=quad)
+
     # --- Liquid-ice collisions (masked) ---
     coll = P3P.bulk_liquid_ice_collision_sources(
         state, loglam_s, pdf_c, pdf_r, L_lcl, N_lcl, L_rai, N_rai,
-        mp.warm_rain.air_properties, tps, vel, rho, T, quad=quad)
+        mp.warm_rain.air_properties, tps, vel, rho, T, quad=quad,
+        ice_nodes=ice_nodes)
     mask = lambda v: jnp.where(has_ice, v, zero)
     dq_lcl_dt = dq_lcl_dt + mask(coll.dq_c)
     dq_rai_dt = dq_rai_dt + mask(coll.dq_r)
@@ -112,12 +119,14 @@ def ice_tendencies_2m_p3(
     db_rim_dt = db_rim_dt + mask(coll.dB_rim) / rho
 
     # --- Ice self-collection (aggregation) ---
-    agg = P3P.ice_self_collection(state, loglam_s, vel, rho, quad=quad)
+    agg = P3P.ice_self_collection(state, loglam_s, vel, rho, quad=quad,
+                                  nodes=ice_nodes)
     dn_ice_dt = dn_ice_dt - mask(agg) / rho
 
     # --- Melting (above freezing) ---
     melt_dN, melt_dL = P3P.ice_melt(vel, mp.warm_rain.air_properties, tps,
-                                    T, rho, state, loglam_s, quad=quad)
+                                    T, rho, state, loglam_s, quad=quad,
+                                    nodes=ice_nodes)
     is_warm = T > tps.T_freeze
     melt_mask = lambda v: jnp.where(has_ice & is_warm, v, zero)
     dq_ice_melt = melt_mask(melt_dL) / rho

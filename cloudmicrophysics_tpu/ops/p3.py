@@ -82,6 +82,8 @@ __all__ = [
     "get_distribution_loglambda_all_solutions",
     "integral_bounds",
     "D_m",
+    "IceQuadNodes",
+    "ice_quadrature_nodes",
     "ice_particle_terminal_velocity",
     "ice_terminal_velocity_number_weighted",
     "ice_terminal_velocity_mass_weighted",
@@ -304,16 +306,32 @@ def get_mu(slope, loglambda):
     raise TypeError(f"unknown slope law {type(slope)}")
 
 
-def loggamma_inc_moment(D1, D2, mu, loglambda, k=0.0, scale=1.0):
+def loggamma_inc_moment(D1, D2, mu, loglambda, k=0.0, scale=1.0,
+                        lo_is_zero=False, hi_is_inf=False):
     """``log(scale * int_D1^D2 D^(mu+k) e^(-lambda D) dD)`` via regularized
     incomplete gammas in log space
-    (reference src/P3_size_distribution.jl:97-109)."""
+    (reference src/P3_size_distribution.jl:97-109).
+
+    ``lo_is_zero`` / ``hi_is_inf`` are STATIC flags for the outermost
+    segments of the full-support mass moment, where ``gamma_inc`` is
+    analytic — ``P(z, 0) = 0`` / ``Q(z, inf) = 0`` — and the fixed
+    40-iteration evaluation can be skipped entirely (2 of the 8
+    gamma_inc per shape-solver residual evaluation)."""
     dt = float_dtype(D1, D2, mu, loglambda)
     z = k + mu + 1
-    x1 = D1 * jnp.exp(loglambda)
-    x2 = D2 * jnp.exp(loglambda)
-    p1, q1 = gamma_inc(z, x1)
-    p2, q2 = gamma_inc(z, x2)
+    one = jnp.ones_like(z)
+    zero = jnp.zeros_like(z)
+    if lo_is_zero:
+        p1, q1 = zero, one
+    else:
+        x1 = D1 * jnp.exp(loglambda)
+        p1, q1 = gamma_inc(z, x1)
+    if hi_is_inf:
+        p2, q2 = one, zero
+        x2 = jnp.asarray(jnp.inf, dt) + zero
+    else:
+        x2 = D2 * jnp.exp(loglambda)
+        p2, q2 = gamma_inc(z, x2)
     dq = jnp.where(x2 < z + 1, p2 - p1, q1 - q2)
     dq = jnp.maximum(dq, machine_eps(dt))
     out = -z * loglambda + lgamma(z) + jnp.log(dq) \
@@ -351,11 +369,16 @@ def logmass_gamma_moment(state: P3State, mu, loglambda, n=0.0):
     (reference src/P3_size_distribution.jl:193-200)."""
     bnds = segment_boundaries(state)
     moments = []
-    for D_lo, D_hi in zip(bnds[:-1], bnds[1:]):
+    last = len(bnds) - 2
+    for i, (D_lo, D_hi) in enumerate(zip(bnds[:-1], bnds[1:])):
         a, b = ice_mass_coeffs(state, (D_lo + D_hi) / 2)
-        # fold the coefficient a into log space directly (a > 0)
+        # fold the coefficient a into log space directly (a > 0);
+        # the support is [0, inf) so the outermost gamma_inc endpoint
+        # evaluations are analytic (see loggamma_inc_moment)
         dt = float_dtype(D_lo)
-        m = loggamma_inc_moment(D_lo, D_hi, mu, loglambda, b + n, 1.0) \
+        m = loggamma_inc_moment(D_lo, D_hi, mu, loglambda, b + n, 1.0,
+                                lo_is_zero=(i == 0),
+                                hi_is_inf=(i == last)) \
             + jnp.log(jnp.maximum(a, jnp.asarray(jnp.finfo(dt).tiny, dt)))
         # collapsed segments contribute -inf (excluded from logsumexp)
         m = jnp.where(D_lo < D_hi, m, jnp.asarray(-jnp.inf, dt))
@@ -594,6 +617,47 @@ def D_m(state: P3State, loglambda):
 
 
 # ---------------------------------------------------------------------------
+# Shared quadrature-node context
+# ---------------------------------------------------------------------------
+
+class IceQuadNodes(NamedTuple):
+    """Ice PSD quadrature nodes with the two expensive per-node fields
+    evaluated once: the piecewise Chen2022 terminal velocity (several
+    pow/exp per node) and the size distribution (exp per node).
+
+    Every bulk ice integral in a P3 step — liquid-ice collisions, ice
+    self-collection (outer axis), melt, number-/mass-weighted terminal
+    velocities — contracts against the SAME ice-node axis. The reference
+    evaluates each integral independently (host-side broadcasting,
+    src/P3_terminal_velocity.jl:73-135, src/P3_processes.jl:449-567); on
+    TPU the v(D)/n(D) node tables are the dominant per-node VPU cost, so
+    they are computed once per step and threaded into each consumer.
+    """
+
+    D: Array     # (n_segments * n_quad, *cell) segment-concatenated nodes
+    w: Array     # matching weights (zero on collapsed segments)
+    v: Array     # terminal velocity at D [m/s]
+    n: Array     # size distribution at D [1/m^4]
+    bnds: tuple  # the (D_min, D_th, D_gr, D_cr, D_max) window
+
+
+def ice_quadrature_nodes(velocity_params: Chen2022VelType, rho_a,
+                         state: P3State, loglambda, p=1e-6,
+                         quad: Optional[QuadratureRule] = None
+                         ) -> IceQuadNodes:
+    """Build the shared per-step ice node context (tail quantile ``p``)."""
+    from ..utils.quadrature import segment_nodes
+
+    if quad is None:
+        quad = default_quadrature()
+    bnds = integral_bounds(state, loglambda, p)
+    D, w = segment_nodes(quad, bnds)
+    v = ice_particle_terminal_velocity(velocity_params, rho_a, state)(D)
+    n = size_distribution(state, loglambda)(D)
+    return IceQuadNodes(D=D, w=w, v=v, n=n, bnds=bnds)
+
+
+# ---------------------------------------------------------------------------
 # Terminal velocity (reference src/P3_terminal_velocity.jl)
 # ---------------------------------------------------------------------------
 
@@ -618,23 +682,23 @@ def ice_particle_terminal_velocity(velocity_params: Chen2022VelType, rho_a,
 
 
 def _weighted_velocity(velocity_params, rho_a, state, loglambda, p, quad,
-                       mass_weighted: bool):
+                       mass_weighted: bool, nodes=None):
     dt = float_dtype(rho_a, loglambda)
     eps = machine_eps(dt)
     empty = (state.rho_n_ice < eps) | (state.rho_q_ice < eps)
 
-    v_term = ice_particle_terminal_velocity(velocity_params, rho_a, state)
-    n = size_distribution(state, loglambda)
+    if nodes is None:
+        nodes = ice_quadrature_nodes(velocity_params, rho_a, state,
+                                     loglambda, p, quad)
 
+    integrand = nodes.n * nodes.v
     if mass_weighted:
-        f = lambda D: n(D) * v_term(D) * ice_mass(state, D)
+        integrand = integrand * ice_mass(state, nodes.D)
         denom = state.rho_q_ice
     else:
-        f = lambda D: n(D) * v_term(D)
         denom = state.rho_n_ice
 
-    bnds = integral_bounds(state, loglambda, p)
-    val = integrate_segments(f, bnds, quad)
+    val = jnp.sum(integrand * nodes.w, axis=0)
     denom_safe = jnp.maximum(denom, jnp.asarray(jnp.finfo(dt).tiny, dt))
     out = val / denom_safe
     return jnp.where(empty, jnp.zeros_like(out), out)
@@ -643,24 +707,27 @@ def _weighted_velocity(velocity_params, rho_a, state, loglambda, p, quad,
 def ice_terminal_velocity_number_weighted(
     velocity_params: Chen2022VelType, rho_a, state: P3State, loglambda,
     p=1e-6, quad: Optional[QuadratureRule] = None,
+    nodes: Optional[IceQuadNodes] = None,
 ):
     """Number-weighted bulk ice fall speed by quadrature
-    (reference src/P3_terminal_velocity.jl:73-135)."""
+    (reference src/P3_terminal_velocity.jl:73-135). Pass ``nodes`` to
+    reuse a step-shared :class:`IceQuadNodes` (``p``/``quad`` ignored)."""
     if quad is None:
         quad = default_quadrature()
     return _weighted_velocity(velocity_params, rho_a, state, loglambda, p,
-                              quad, mass_weighted=False)
+                              quad, mass_weighted=False, nodes=nodes)
 
 
 def ice_terminal_velocity_mass_weighted(
     velocity_params: Chen2022VelType, rho_a, state: P3State, loglambda,
     p=1e-6, quad: Optional[QuadratureRule] = None,
+    nodes: Optional[IceQuadNodes] = None,
 ):
     """Mass-weighted bulk ice fall speed by quadrature."""
     if quad is None:
         quad = default_quadrature()
     return _weighted_velocity(velocity_params, rho_a, state, loglambda, p,
-                              quad, mass_weighted=True)
+                              quad, mass_weighted=True, nodes=nodes)
 
 
 def get_distribution_loglambda_all_solutions(state: P3State,

@@ -53,38 +53,10 @@ __all__ = [
 ]
 
 
-def _nodes(quad: QuadratureRule, a, b):
-    """Quadrature nodes/weights mapped to [a, b] with a new LEADING axis.
-
-    Returns (x, w_scaled) where summing ``f(x) * w_scaled`` over axis 0
-    approximates the integral; invalid (a >= b) windows contribute zero.
-    """
-    from ..utils.quadrature import _expand
-
-    dt = float_dtype(a, b)
-    y_np, w_np = quad.nodes_weights()
-    a = jnp.asarray(a, dt)
-    b = jnp.asarray(b, dt)
-    valid = a < b
-    a_s = jnp.where(valid, a, jnp.ones_like(a))
-    b_s = jnp.where(valid, b, 2 * jnp.ones_like(b))
-    y = _expand(jnp.asarray(y_np, dt), a)
-    w = _expand(jnp.asarray(w_np, dt), a)
-    scale = (b_s - a_s) / 2
-    x = scale * y + (a_s + b_s) / 2
-    w_scaled = jnp.where(valid, w * scale, jnp.zeros_like(w * scale))
-    return x, w_scaled
-
-
-def _segment_nodes(quad, bnds):
-    """Concatenate node/weight tables over consecutive segments of a bounds
-    tuple along the leading axis."""
-    xs, ws = [], []
-    for lo, hi in zip(bnds[:-1], bnds[1:]):
-        x, w = _nodes(quad, lo, hi)
-        xs.append(x)
-        ws.append(w)
-    return jnp.concatenate(xs, axis=0), jnp.concatenate(ws, axis=0)
+# Shared node helpers (moved to utils.quadrature so ops.p3 can build the
+# once-per-step IceQuadNodes context without a circular import).
+from ..utils.quadrature import nodes as _nodes  # noqa: E402
+from ..utils.quadrature import segment_nodes as _segment_nodes  # noqa: E402
 
 
 def _node_iter(quad: QuadratureRule, a, b):
@@ -140,8 +112,11 @@ def het_ice_nucleation(aerosol, tps: TPS, q_lcl, N_lcl, RH, T, rho_a):
 # ---------------------------------------------------------------------------
 
 def ice_melt(velocity_params, aps: AirProperties, tps: TPS, T_a, rho_a,
-             state: P3.P3State, loglambda, quad=None):
-    """Ventilation-integral melt rate (QIMLT). Returns (dNdt, dLdt)."""
+             state: P3.P3State, loglambda, quad=None, nodes=None):
+    """Ventilation-integral melt rate (QIMLT). Returns (dNdt, dLdt).
+
+    Pass ``nodes`` (a step-shared :class:`P3.IceQuadNodes`) to reuse the
+    bounds/velocity/PSD node tables; ``quad`` is then ignored."""
     if quad is None:
         quad = default_quadrature()
     dt = float_dtype(T_a, rho_a)
@@ -149,13 +124,13 @@ def ice_melt(velocity_params, aps: AirProperties, tps: TPS, T_a, rho_a,
     T_freeze = state.params.T_freeze
     vent = state.params.vent
 
-    v_term = P3.ice_particle_terminal_velocity(velocity_params, rho_a, state)
-    n = P3.size_distribution(state, loglambda)
-    bnds = P3.integral_bounds(state, loglambda, 1e-6)
-    x, w = _segment_nodes(quad, bnds)
+    if nodes is None:
+        nodes = P3.ice_quadrature_nodes(velocity_params, rho_a, state,
+                                        loglambda, 1e-6, quad)
+    x, w = nodes.D, nodes.w
 
-    F_v = CO.ventilation_factor(vent, aps, v_term(x), x)
-    integrand = P3.d_ice_mass_dD(state, x) * F_v * n(x) / x
+    F_v = CO.ventilation_factor(vent, aps, nodes.v, x)
+    integrand = P3.d_ice_mass_dD(state, x) * F_v * nodes.n / x
     fac = 4 * aps.K_therm / L_f * (T_a - T_freeze)
     dLdt_raw = fac * jnp.sum(integrand * w, axis=0)
 
@@ -194,8 +169,11 @@ def compute_max_freeze_rate(aps: AirProperties, tps: TPS, velocity_params,
     denom = L_f - cp_l * dT
     big = jnp.asarray(jnp.finfo(dt).max, dt)
 
-    def max_freeze_rate(D_i):
-        F_v = CO.ventilation_factor(state.params.vent, aps, v_term(D_i), D_i)
+    def max_freeze_rate(D_i, v_at_D=None):
+        # v_at_D: optional precomputed terminal velocity at D_i (shared
+        # IceQuadNodes table) — skips a per-node Chen2022 re-evaluation
+        v = v_term(D_i) if v_at_D is None else v_at_D
+        F_v = CO.ventilation_factor(state.params.vent, aps, v, D_i)
         denom_safe = jnp.where(denom > 0, denom, jnp.ones_like(denom))
         rate = 2 * (PI * D_i) * F_v \
             * (aps.K_therm * dT + Lv * aps.D_vapor * drho_v_sat) / denom_safe
@@ -212,10 +190,11 @@ def compute_local_rime_density(velocity_params, rho_a, T, state):
     v_ice = P3.ice_particle_terminal_velocity(velocity_params, rho_a, state)
     aiu, bi, ciu = CO.chen2022_vel_coeffs_rain(velocity_params.rain, rho_a)
 
-    def rho_rim_local(D_i, D_l):
+    def rho_rim_local(D_i, D_l, v_i_at=None):
+        # v_i_at: optional precomputed ice velocity at D_i (IceQuadNodes)
         dt = float_dtype(D_l)
         v_liq = CO.chen2022_velocity_sum(aiu, bi, ciu, D_l)
-        v_rel = jnp.abs(v_ice(D_i) - v_liq)
+        v_rel = jnp.abs((v_ice(D_i) if v_i_at is None else v_i_at) - v_liq)
         T_c_safe = jnp.where(jnp.abs(T_c) > 0, T_c,
                              -jnp.asarray(machine_eps(dt), dt))
         Ri = (D_l * 1e6 * v_rel) / (2 * T_c_safe)
@@ -312,7 +291,7 @@ def _crossover_diameter(v_target, v_l_fn, D_min, D_max, dt):
 def bulk_liquid_ice_collision_sources(
     state: P3.P3State, loglambda, pdf_c, pdf_r, L_c, N_c, L_r, N_r,
     aps: AirProperties, tps: TPS, vel, rho_a, T, quad=None,
-    rain_inner: str = "quadrature",
+    rain_inner: str = "quadrature", ice_nodes=None,
 ) -> CollisionSources:
     """Bulk rates from ice-liquid collisions: nested quadrature over
     (ice nodes x liquid nodes) with the Musil freezing/shedding split and
@@ -351,17 +330,14 @@ def bulk_liquid_ice_collision_sources(
     # PSDs
     n_c = lambda D: CM2.size_distribution_cloud(pdf_c, L_c / rho_a, rho_a,
                                                 N_c, D)
-    n_i = P3.size_distribution(state, loglambda)
 
-    p = 1e-5
-    ice_bnds = P3.integral_bounds(state, loglambda, p)
+    p = 1e-5 if ice_nodes is None else 1e-6  # shared nodes pin p = 1e-6
     c_lo, c_hi = CM2.size_distribution_bounds_cloud(pdf_c, L_c / rho_a,
                                                     rho_a, N_c, p)
     r_lo, r_hi = CM2.size_distribution_bounds_rain(pdf_r, L_r / rho_a,
                                                    rho_a, N_r, p)
 
     # velocities
-    v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
     aiu, bi, ciu = CO.chen2022_vel_coeffs_rain(vel.rain, rho_a)
     v_liq = lambda D: CO.chen2022_velocity_sum(aiu, bi, ciu, D)
 
@@ -369,8 +345,11 @@ def bulk_liquid_ice_collision_sources(
     max_frz = compute_max_freeze_rate(aps, tps, vel, rho_a, T, state)
 
     # --- outer ice nodes: (n_i_nodes, *cell) ---
-    Di, wi = _segment_nodes(quad, ice_bnds)
-    v_i_at_Di = v_ice(Di)
+    if ice_nodes is None:
+        ice_nodes = P3.ice_quadrature_nodes(vel, rho_a, state, loglambda,
+                                            p, quad)
+    Di, wi = ice_nodes.D, ice_nodes.w
+    v_i_at_Di = ice_nodes.v
     k0, k1, k2 = collision_cross_section_coeffs(state, Di)
 
     # --- cloud inner integral by quadrature: liquid axis leads (XLA
@@ -385,7 +364,7 @@ def bulk_liquid_ice_collision_sources(
     nl = n_c(Dl)
     t1 = dV * nl
     t2 = t1 * m_liq(Dl)
-    t3 = t2 / rho_rim_loc(Di[None], Dl)
+    t3 = t2 / rho_rim_loc(Di[None], Dl, v_i_at_Di[None])
     dN_c_col = jnp.sum(t1 * wl, axis=0)         # per ice node
     dM_c_col = jnp.sum(t2 * wl, axis=0)
     dB_c_col = jnp.sum(t3 * wl, axis=0)
@@ -422,14 +401,14 @@ def bulk_liquid_ice_collision_sources(
                     t2 = t1 * m_liq(Dl_n)
                     dN_r_col = dN_r_col + t1
                     dM_r_col = dM_r_col + t2
-                    dB_r_col = dB_r_col + t2 / rho_rim_loc(Di, Dl_n)
+                    dB_r_col = dB_r_col + t2 / rho_rim_loc(Di, Dl_n, v_i_at_Di)
             else:
                 Dl_n, w_n = _nodes(quad, a, b)   # (n_l, n_i, *cell)
                 K_n = (k2 * Dl_n + k1[None]) * Dl_n + k0[None]
                 t1 = K_n * jnp.abs(v_i_at_Di[None] - v_liq(Dl_n)) \
                     * n_r(Dl_n)
                 t2 = t1 * m_liq(Dl_n)
-                t3 = t2 / rho_rim_loc(Di[None], Dl_n)
+                t3 = t2 / rho_rim_loc(Di[None], Dl_n, v_i_at_Di[None])
                 dN_r_col = dN_r_col + jnp.sum(t1 * w_n, axis=0)
                 dM_r_col = dM_r_col + jnp.sum(t2 * w_n, axis=0)
                 dB_r_col = dB_r_col + jnp.sum(t3 * w_n, axis=0)
@@ -477,7 +456,8 @@ def bulk_liquid_ice_collision_sources(
                                            Dlr)
         K_r = k0[None] + k1[None] * Dlr + k2 * Dlr**2
         dV_r = K_r * jnp.abs(v_i_at_Di[None] - v_liq(Dlr))
-        t3_r = dV_r * n_r_v * m_liq(Dlr) / rho_rim_loc(Di[None], Dlr)
+        t3_r = dV_r * n_r_v * m_liq(Dlr) \
+            / rho_rim_loc(Di[None], Dlr, v_i_at_Di[None])
         dB_r_col = jnp.sum(t3_r * wlr, axis=0)
 
     bad = ~(jnp.isfinite(dN_r_col) & jnp.isfinite(dM_r_col)) | ~rain_valid
@@ -487,13 +467,13 @@ def bulk_liquid_ice_collision_sources(
 
     # --- outer assembly: freezing/shedding split per ice node ---
     dM_col = dM_c_col + dM_r_col
-    dM_frz = jnp.minimum(dM_col, max_frz(Di))
+    dM_frz = jnp.minimum(dM_col, max_frz(Di, v_i_at_Di))
     dM_col_safe = jnp.where(dM_col == 0, jnp.ones_like(dM_col), dM_col)
     f_frz = jnp.where(dM_col == 0, jnp.zeros_like(dM_col),
                       dM_frz / dM_col_safe)
     wet = (dM_col > dM_frz).astype(dt)
 
-    ni = n_i(Di)
+    ni = ice_nodes.n
     contract = lambda v: jnp.sum(ni * v * wi, axis=0)
     QCFRZ = contract(dM_c_col * f_frz)
     QCSHD = contract(dM_c_col * (1 - f_frz))
@@ -534,7 +514,8 @@ def bulk_liquid_ice_collision_sources(
 # Ice self-collection (reference src/P3_processes.jl:676-712)
 # ---------------------------------------------------------------------------
 
-def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
+def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
+                        nodes=None):
     """Aggregation loss rate of ice number [1/m^3/s] — double integral with
     the inner integral split at the |v1 - v2| cusp (D2 = D1).
 
@@ -544,6 +525,11 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
     reference's both-halves cusp split (src/P3_processes.jl:676-712) for
     the same integral; each half is smooth so Gauss-Legendre accuracy is
     unchanged.
+
+    Pass ``nodes`` (step-shared :class:`P3.IceQuadNodes`) to reuse the
+    outer-axis bounds/velocity/PSD tables (the inner axis depends on the
+    outer node and is always evaluated fresh); ``quad`` then only sets
+    the inner node count.
     """
     if quad is None:
         quad = default_quadrature()
@@ -551,12 +537,14 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
     n_i = P3.size_distribution(state, loglambda)
     v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
 
-    p = machine_eps(dt)
-    bnds = P3.integral_bounds(state, loglambda, p)
-    D_lo, D_hi = bnds[0], bnds[-1]
+    if nodes is None:
+        p = machine_eps(dt)
+        nodes = P3.ice_quadrature_nodes(vel, rho_a, state, loglambda, p,
+                                        quad)
+    D_lo = nodes.bnds[0]
 
-    D1, w1 = _segment_nodes(quad, bnds)        # (n1, *cell)
-    n1_of_D1 = n_i(D1)
+    D1, w1 = nodes.D, nodes.w                  # (n1, *cell)
+    n1_of_D1 = nodes.n
 
     def lower_triangle(r1, v1, D1_c):
         # inner nodes over [D_lo, D1], accumulated node-by-node (no
@@ -580,14 +568,14 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None):
         total = jnp.zeros_like(loglambda + jnp.asarray(rho_a, dt))
         for s in range(0, n_outer, chunk):
             D1_c = D1[s:s + chunk]
-            v1_c = v_ice(D1_c)
+            v1_c = nodes.v[s:s + chunk]
             r1_c = jnp.sqrt(P3.ice_area(state, D1_c) / PI)
             inner = lower_triangle(r1_c, v1_c, D1_c)
             total = total + jnp.sum(
                 inner * n1_of_D1[s:s + chunk] * w1[s:s + chunk], axis=0)
         return total
 
-    v1 = v_ice(D1)
+    v1 = nodes.v
     r1 = jnp.sqrt(P3.ice_area(state, D1) / PI)
     inner = lower_triangle(r1, v1, D1)
     return jnp.sum(inner * n1_of_D1 * w1, axis=0)

@@ -34,6 +34,8 @@ __all__ = [
     "integrate",
     "integrate_segments",
     "default_quadrature",
+    "nodes",
+    "segment_nodes",
     "tabulate",
 ]
 
@@ -108,11 +110,15 @@ def tabulate(rule: QuadratureRule) -> Tabulated:
 def build_quadrature(order: int) -> QuadratureRule:
     """Select the quadrature rule from the single ``quadrature_order`` knob.
 
-    Gauss-Legendre for the preferred orders {16, 32, 40, 64} (incl. the
-    ClimaAtmos production order 40), Chebyshev-Gauss otherwise
-    (reference ``src/Quadrature.jl:272-278``).
+    Gauss-Legendre for the preferred orders {4, 8, 16, 32, 40, 64} (incl.
+    the ClimaAtmos production order 40), Chebyshev-Gauss otherwise
+    (reference ``src/Quadrature.jl:272-278``; {4, 8} extend the
+    reference's GL set downward — at the low node counts that make the
+    P3 collision kernel fast on TPU, GL's per-segment spectral
+    convergence is what keeps the quadrature-ladder gates green, see
+    tests/test_quadrature_ladder.py).
     """
-    if order in (16, 32, 40, 64):
+    if order in (4, 8, 16, 32, 40, 64):
         return GaussLegendre(order)
     return ChebyshevGauss(order)
 
@@ -166,6 +172,41 @@ def integrate(f: Callable, a, b, quad: QuadratureRule | None = None):
     fx = f(x)
     res = jnp.sum(fx * w, axis=0) * scale
     return jnp.where(valid, res, jnp.zeros_like(res))
+
+
+def nodes(quad: QuadratureRule, a, b):
+    """Quadrature nodes/weights mapped to ``[a, b]`` with a new LEADING
+    axis: summing ``f(x) * w_scaled`` over axis 0 approximates the
+    integral. Invalid (``a >= b``) windows get zero weights (and the
+    dead-branch nodes are sanitized onto ``[1, 2]``)."""
+    dt = jnp.result_type(a, b)
+    if not jnp.issubdtype(dt, jnp.floating):
+        dt = jnp.result_type(float)
+    y_np, w_np = quad.nodes_weights()
+    a = jnp.asarray(a, dt)
+    b = jnp.asarray(b, dt)
+    valid = a < b
+    a_s = jnp.where(valid, a, jnp.ones_like(a))
+    b_s = jnp.where(valid, b, 2 * jnp.ones_like(b))
+    y = _expand(jnp.asarray(y_np, dt), a)
+    w = _expand(jnp.asarray(w_np, dt), a)
+    scale = (b_s - a_s) / 2
+    x = scale * y + (a_s + b_s) / 2
+    w_scaled = jnp.where(valid, w * scale, jnp.zeros_like(w * scale))
+    return x, w_scaled
+
+
+def segment_nodes(quad: QuadratureRule, bnds):
+    """Concatenate :func:`nodes` tables over consecutive segments of a
+    bounds tuple along the leading axis — the shared-node form of
+    :func:`integrate_segments` (evaluate integrands once at ``(x, w)``,
+    contract many different moments against the same table)."""
+    xs, ws = [], []
+    for lo, hi in zip(bnds[:-1], bnds[1:]):
+        x, w = nodes(quad, lo, hi)
+        xs.append(x)
+        ws.append(w)
+    return jnp.concatenate(xs, axis=0), jnp.concatenate(ws, axis=0)
 
 
 def integrate_segments(f: Callable, bnds, quad: QuadratureRule | None = None):

@@ -131,10 +131,16 @@ class TestColumn2MPallas:
 
 
 class TestColumnP3Pallas:
+    # order 8 + an (8, 4) tile: parity between the Pallas and XLA paths
+    # holds at any order, and interpret-mode cost scales with
+    # (cells x quadrature nodes^2) — order 16 at (16, 4) took ~290 s of
+    # the suite's budget for identical coverage
+    ORDER = 8
+
     def _state(self):
         from cloudmicrophysics_tpu.models.column import ColumnStateP3
 
-        f = lambda v: jnp.full((16, 4), v, jnp.float32)
+        f = lambda v: jnp.full((8, 4), v, jnp.float32)
         return ColumnStateP3(
             rho=f(1.1), T=f(263.0), q_tot=f(6e-3), q_lcl=f(1e-3),
             n_lcl=f(9e7), q_rai=f(5e-4), n_rai=f(9e5), q_ice=f(5e-4),
@@ -145,11 +151,12 @@ class TestColumnP3Pallas:
         from cloudmicrophysics_tpu.models.column import step_column_p3
         from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
-        mp = microphysics_2m_params(with_ice=True, quadrature_order=16)
+        mp = microphysics_2m_params(with_ice=True,
+                                    quadrature_order=self.ORDER)
         st = self._state()
         ref, loglam_ref = step_column_p3(st, mp, TPS, 1.0, 100.0)
         out, loglam = step_column_p3_pallas(st, mp, TPS, 1.0, 100.0,
-                                            block_cols=8, interpret=True)
+                                            block_cols=4, interpret=True)
         np.testing.assert_allclose(np.asarray(loglam),
                                    np.asarray(loglam_ref), rtol=2e-5)
         for name in ref._fields:
@@ -163,13 +170,14 @@ class TestColumnP3Pallas:
         from cloudmicrophysics_tpu.models.column import step_column_p3
         from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
-        mp = microphysics_2m_params(with_ice=True, quadrature_order=16)
+        mp = microphysics_2m_params(with_ice=True,
+                                    quadrature_order=self.ORDER)
         st = self._state()
         st1, loglam1 = step_column_p3(st, mp, TPS, 1.0, 100.0)
         ref, _ = step_column_p3(st1, mp, TPS, 1.0, 100.0, loglam1)
         out, _ = step_column_p3_pallas(st1, mp, TPS, 1.0, 100.0,
                                        loglambda_guess=loglam1,
-                                       block_cols=16, interpret=True)
+                                       block_cols=8, interpret=True)
         for name in ref._fields:
             np.testing.assert_allclose(
                 np.asarray(getattr(out, name)),

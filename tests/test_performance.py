@@ -119,6 +119,110 @@ class TestSchemeBudgets:
             name="arg_activation")
 
 
+class TestP3Budgets:
+    """P3 hot entry points (reference test/performance_tests.jl:200-280:
+    state construction, shape solve, terminal velocities, processes)."""
+
+    def _state(self):
+        mp = cm.parameters.microphysics_2m_params(with_ice=True)
+        from cloudmicrophysics_tpu.ops import p3 as P3
+
+        st = P3.state_from_prognostic(
+            mp.ice.scheme, full(1e-4 * 1.1), full(9e4 * 1.1),
+            full(3e-5 * 1.1), full(3e-5 / 400 * 1.1))
+        return mp, st, P3.get_distribution_loglambda(st)
+
+    def test_p3_state_ctor(self):
+        mp = cm.parameters.microphysics_2m_params(with_ice=True)
+        from cloudmicrophysics_tpu.ops import p3 as P3
+
+        # check_dtype off: the returned P3State carries the params pytree,
+        # whose leaves are f64 under the suite's x64 mode regardless of
+        # the f32 prognostic inputs (static scheme constants, not data)
+        bench_press(
+            lambda L, N, Lr, Br: P3.state_from_prognostic(
+                mp.ice.scheme, L, N, Lr, Br),
+            (full(1e-4), full(9e4), full(3e-5), full(3e-5 / 400)), 10 * MS,
+            name="p3_state_ctor", check_dtype=False)
+
+    def test_p3_shape_solver(self):
+        mp, st, _ = self._state()
+        from cloudmicrophysics_tpu.ops import p3 as P3
+
+        bench_press(
+            lambda L, N: P3.get_distribution_loglambda(
+                P3.state_from_prognostic(mp.ice.scheme, L, N,
+                                         full(3e-5), full(3e-5 / 400))),
+            (full(1e-4), full(9e4)), 60 * MS, name="p3_shape_solver")
+
+    def test_p3_terminal_velocities(self):
+        mp, st, ll = self._state()
+        from cloudmicrophysics_tpu.ops import p3 as P3
+
+        vel = mp.ice.terminal_velocity
+        bench_press(
+            lambda rho, ll: P3.ice_terminal_velocity_number_weighted(
+                vel, rho, st, ll, quad=mp.ice.quad),
+            (full(1.1), ll), 60 * MS, name="p3_vt_number")
+        bench_press(
+            lambda rho, ll: P3.ice_terminal_velocity_mass_weighted(
+                vel, rho, st, ll, quad=mp.ice.quad),
+            (full(1.1), ll), 60 * MS, name="p3_vt_mass")
+
+    def test_het_ice_nucleation(self):
+        from cloudmicrophysics_tpu.ops import p3_processes as P3P
+        from cloudmicrophysics_tpu.parameters.aerosol_species import Illite
+
+        bench_press(
+            lambda ql, Nl, RH, T, rho: P3P.het_ice_nucleation(
+                Illite(), TPS, ql, Nl, RH, T, rho),
+            (full(1e-4), full(1e8), full(1.0), full(251.0), full(1.1)),
+            5 * MS, name="het_ice_nucleation")
+
+
+class TestMoreSchemeBudgets:
+    """2M self-collection/breakup, reflectivity/r_eff, NPF rates
+    (reference test/performance_tests.jl:120-180, 300-356)."""
+
+    def test_rain_self_collection_and_breakup(self):
+        from cloudmicrophysics_tpu.ops import m2 as CM2
+
+        sb = cm.parameters.microphysics_2m_params().warm_rain.seifert_beheng
+        bench_press(
+            lambda q, rho, N: CM2.rain_self_collection_and_breakup(
+                sb, q, rho, N),
+            (full(5e-4), full(1.1), full(9e5)), 10 * MS,
+            name="rain_sc_breakup")
+
+    def test_reflectivity_and_r_eff_2m(self):
+        from cloudmicrophysics_tpu.ops import diagnostics as CMD
+
+        sb = cm.parameters.microphysics_2m_params().warm_rain.seifert_beheng
+        bench_press(
+            lambda ql, qr, Nl, Nr, rho: CMD.radar_reflectivity_2m(
+                sb, ql, qr, Nl, Nr, rho),
+            (full(1e-3), full(5e-4), full(9e7), full(9e5), full(1.1)),
+            10 * MS, name="radar_reflectivity_2m")
+        bench_press(
+            lambda ql, qr, Nl, Nr, rho: CMD.effective_radius_2m(
+                sb, ql, qr, Nl, Nr, rho),
+            (full(1e-3), full(5e-4), full(9e7), full(9e5), full(1.1)),
+            10 * MS, name="effective_radius_2m")
+
+    def test_h2so4_nucleation_rate(self):
+        from cloudmicrophysics_tpu.ops import nucleation as NPF
+        from cloudmicrophysics_tpu.parameters.modal_nucleation import (
+            H2SO4NucleationParameters,
+        )
+
+        mn = H2SO4NucleationParameters()
+        bench_press(
+            lambda c, T: NPF.h2so4_nucleation_rate(
+                c, full(1.0), full(1.0), T, mn),
+            (full(1e6), full(208.0)), 10 * MS,
+            name="h2so4_nucleation_rate")
+
+
 class TestColumnBudget:
     def test_step_column_1m(self):
         from cloudmicrophysics_tpu.models.column import (

@@ -56,7 +56,15 @@ def baseline():
     return _tendency_vector(100)
 
 
-LADDER = [(50, 5e-3), (25, 5e-2), (15, 2e-1)]
+# The reference's CG rungs (50/25/15, bulk_tendencies_quadrature_tests.jl)
+# plus the TPU production orders, which build_quadrature maps to
+# Gauss-Legendre. Both GL rungs sit inside the reference's own n=25
+# acceptance (5e-2); the GL-16 residual (~9e-3, dn_ice) is the ice
+# self-collection inner span, whose Chen2022 small/large-ice cutoff kink
+# is not a segment boundary — per-order convergence there is algebraic,
+# not spectral (segment-splitting the inner span was measured to buy
+# only 9.4e-3 -> 2.5e-3 at 4x the inner-node cost; not taken).
+LADDER = [(50, 5e-3), (25, 5e-2), (15, 2e-1), (16, 2e-2), (8, 5e-2)]
 
 
 @pytest.mark.parametrize("order,tol", LADDER)
