@@ -57,10 +57,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--nlev", type=int, default=128)
+    ap.add_argument("--p3-orders", type=str, default="16,8",
+                    help="quadrature orders for the 2m_p3 rows (the GL-16 "
+                    "default and the ladder-verified GL-8 fast setting)")
     args_cli = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
 
     import cloudmicrophysics_tpu as cm
     from cloudmicrophysics_tpu.models.tendencies import bulk_tendencies_2m
@@ -133,38 +140,49 @@ def main():
                     N))
 
     # --- 2M + P3 ice (pointwise; loglambda solved once, held) ---
-    mp3 = cm.parameters.microphysics_2m_params(with_ice=True)
-    n3 = max(N // 16, 1024)
-    f3 = lambda v: jnp.full((n3,), v, F)
     from cloudmicrophysics_tpu.ops import p3 as P3
 
-    ps0 = P3.state_from_prognostic(
-        mp3.ice.scheme, f3(1e-4 * 1.1), f3(9e4 * 1.1), f3(3e-5 * 1.1),
-        f3(3e-5 / 400 * 1.1))
-    ll3 = P3.get_distribution_loglambda(ps0)
+    n3 = max(N // 16, 1024)
+    f3 = lambda v: jnp.full((n3,), v, F)
+    p3_orders = [int(o) for o in args_cli.p3_orders.split(",") if o]
 
-    def p3_selfmap(x):
-        rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim = x
-        r = bulk_tendencies_2m(mp3, tps, rho, T, qt, ql, nl, qr, nr,
-                               qi, ni, qrim, brim, ll3)
-        d = 1e-3
-        return (rho, T, qt, clamp(ql + d * r.dq_lcl_dt),
-                clamp(nl + d * r.dn_lcl_dt), clamp(qr + d * r.dq_rai_dt),
-                clamp(nr + d * r.dn_rai_dt), clamp(qi + d * r.dq_ice_dt),
-                clamp(ni + d * r.dn_ice_dt), clamp(qrim + d * r.dq_rim_dt),
-                clamp(brim + d * r.db_rim_dt))
+    for order in p3_orders:
+        mp3 = cm.parameters.microphysics_2m_params(with_ice=True,
+                                                   quadrature_order=order)
+        ps0 = P3.state_from_prognostic(
+            mp3.ice.scheme, f3(1e-4 * 1.1), f3(9e4 * 1.1), f3(3e-5 * 1.1),
+            f3(3e-5 / 400 * 1.1))
+        ll3 = P3.get_distribution_loglambda(ps0)
 
-    a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
-          f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400))
-    results.append(("2m_p3", _throughput(jax.jit(p3_selfmap), (a3,), n3,
-                                         n_iter=10), n3))
+        def p3_selfmap(x, mp3=mp3, ll3=ll3):
+            rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim = x
+            r = bulk_tendencies_2m(mp3, tps, rho, T, qt, ql, nl, qr, nr,
+                                   qi, ni, qrim, brim, ll3)
+            d = 1e-3
+            return (rho, T, qt, clamp(ql + d * r.dq_lcl_dt),
+                    clamp(nl + d * r.dn_lcl_dt),
+                    clamp(qr + d * r.dq_rai_dt),
+                    clamp(nr + d * r.dn_rai_dt),
+                    clamp(qi + d * r.dq_ice_dt),
+                    clamp(ni + d * r.dn_ice_dt),
+                    clamp(qrim + d * r.dq_rim_dt),
+                    clamp(brim + d * r.db_rim_dt))
 
-    # --- full P3 column step (shape solve + processes + sedimentation) ---
+        a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
+              f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400))
+        results.append((f"2m_p3_gl{order}",
+                        _throughput(jax.jit(p3_selfmap), (a3,), n3,
+                                    n_iter=10), n3))
+
+    # --- full P3 column step (shape solve + processes + sedimentation),
+    #     at the GL-8 fast setting ---
     from cloudmicrophysics_tpu.models.column import (
         ColumnStateP3,
         step_column_p3,
     )
 
+    mp3c = cm.parameters.microphysics_2m_params(
+        with_ice=True, quadrature_order=p3_orders[-1])
     ncol3, nlev3 = max(args_cli.n // 16, 64), args_cli.nlev
     fc = lambda v: jnp.full((ncol3, nlev3), v, F)
     st3 = ColumnStateP3(rho=fc(1.1), T=fc(263.0), q_tot=fc(6e-3),
@@ -172,11 +190,11 @@ def main():
                         n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
                         q_rim=fc(1e-4), b_rim=fc(2e-7))
     jit3c = jax.jit(
-        lambda x: step_column_p3(x[0], mp3, tps, 1.0, 100.0, x[1]))
+        lambda x: step_column_p3(x[0], mp3c, tps, 1.0, 100.0, x[1]))
     _, loglam0 = jit3c((st3, None))
     jax.block_until_ready(loglam0)
     n3c = ncol3 * nlev3
-    results.append(("p3_column_step",
+    results.append((f"p3_column_step_gl{p3_orders[-1]}",
                     _throughput(jit3c, ((st3, loglam0),), n3c, n_iter=10),
                     n3c))
 

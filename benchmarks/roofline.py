@@ -207,6 +207,7 @@ def main():
     rows.append(_row("p3_column_step", dt3, dt3m, pN, 12 * 4 * 2 * pN,
                      copy_bw, hbm_bw))
     rows[-1]["batch"] = [pncol, pnlev]
+    rows[-1]["quadrature_order"] = 16  # library default (GL-16)
     # transcendental budget implied by the measured exp rate: how many
     # exp-equivalents/point the kernel could afford if purely VPU-bound
     rows[-1]["exp_equivalents_per_point_budget"] = float(

@@ -180,10 +180,10 @@ def size_distribution_bounds_cloud(pdf_c, q, rho_a, N, p=None):
     _, lam_c, nuD, muD = pdf_cloud_parameters(pdf_c, q, rho_a, N)
     lam_safe = jnp.where(jnp.isinf(lam_c) | (lam_c <= 0),
                          jnp.ones_like(lam_c), lam_c)
-    # 6 Halley steps: tail-window bounds (see gamma_inc_inv docstring)
-    D_min = DT.generalized_gamma_quantile(nuD, muD, lam_safe, p, n_iters=6)
+    # 4 Halley steps: tail-window bounds (see gamma_inc_inv docstring)
+    D_min = DT.generalized_gamma_quantile(nuD, muD, lam_safe, p, n_iters=4)
     D_max = DT.generalized_gamma_quantile(nuD, muD, lam_safe, 1 - p,
-                                          n_iters=6)
+                                          n_iters=4)
     bad = jnp.isinf(lam_c) | (lam_c <= 0)
     z = jnp.zeros_like(D_min)
     return jnp.where(bad, z, D_min), jnp.where(bad, z, D_max)

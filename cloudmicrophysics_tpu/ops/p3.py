@@ -595,13 +595,13 @@ def integral_bounds(state: P3State, loglambda, p, moment_order=0.0):
     dt = float_dtype(loglambda)
     k = get_mu(state.params.slope, loglambda) + moment_order
     lam = jnp.exp(loglambda)
-    # 6 Halley steps: tail-window bounds need far less precision than the
+    # 4 Halley steps: tail-window bounds need far less precision than the
     # quadrature truncation error they control (see gamma_inc_inv)
     D_min = generalized_gamma_quantile_unit_mu(k, lam, jnp.asarray(p, dt),
-                                               n_iters=6)
+                                               n_iters=4)
     D_max = generalized_gamma_quantile_unit_mu(k, lam,
                                                jnp.asarray(1 - p, dt),
-                                               n_iters=6)
+                                               n_iters=4)
     return segment_boundaries(state, D_min, D_max)
 
 

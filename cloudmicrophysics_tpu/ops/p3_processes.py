@@ -7,9 +7,10 @@ TPU-native port of ``/root/reference/src/P3_processes.jl``:
 * :func:`ice_melt` — ventilation melt integral (``:64-94``);
 * :func:`bulk_liquid_ice_collision_sources` — the 2-D collision integral
   producing the 10-component integrand (QCFRZ...wet-growth indicator) with
-  freezing/shedding split, the quadrature cloud inner integral, and the
-  **closed-form rain inner integral** (incomplete-gamma flux sums with a
-  crossover-diameter Brent solve) (``:152-655``);
+  freezing/shedding split, the quadrature cloud inner integral, and a
+  **three-mode rain inner integral** (per-cell-node quadrature /
+  kink-split quadrature / the reference's closed-form incomplete-gamma
+  flux sums with a crossover-diameter Brent solve) (``:152-655``);
 * :func:`ice_self_collection` — cusp-split double integral (``:676-712``).
 
 TPU mapping (SURVEY.md §7 hard part #1): fixed node counts; the inner
@@ -74,6 +75,18 @@ def _node_iter(quad: QuadratureRule, a, b):
     scale = (b_s - a_s) / 2
     mid = (a_s + b_s) / 2
     zero = jnp.zeros_like(scale)
+    import numpy as _np
+
+    if isinstance(y_np, _np.ndarray):
+        # host-side rule (e.g. GaussLegendre): slice to PYTHON scalars
+        # before any jnp conversion, so a Pallas kernel body never
+        # captures the table as an array constant (Mosaic requires array
+        # constants to be operands; scalars are fine)
+        for yj, wj in zip(y_np.reshape(-1).tolist(),
+                          w_np.reshape(-1).tolist()):
+            x = scale * yj + mid
+            yield x, jnp.where(valid, wj * scale, zero)
+        return
     # static-index slices: the tables may be traced pytree leaves
     # (Tabulated rules ride through jit), but their length is static
     y_arr = jnp.asarray(y_np, dt)
@@ -190,11 +203,15 @@ def compute_local_rime_density(velocity_params, rho_a, T, state):
     v_ice = P3.ice_particle_terminal_velocity(velocity_params, rho_a, state)
     aiu, bi, ciu = CO.chen2022_vel_coeffs_rain(velocity_params.rain, rho_a)
 
-    def rho_rim_local(D_i, D_l, v_i_at=None):
-        # v_i_at: optional precomputed ice velocity at D_i (IceQuadNodes)
+    def rho_rim_local(D_i, D_l, v_i_at=None, v_rel=None):
+        # v_i_at: optional precomputed ice velocity at D_i (IceQuadNodes);
+        # v_rel: optional precomputed |v_ice(D_i) - v_liq(D_l)| (skips
+        # both velocity evaluations)
         dt = float_dtype(D_l)
-        v_liq = CO.chen2022_velocity_sum(aiu, bi, ciu, D_l)
-        v_rel = jnp.abs((v_ice(D_i) if v_i_at is None else v_i_at) - v_liq)
+        if v_rel is None:
+            v_liq = CO.chen2022_velocity_sum(aiu, bi, ciu, D_l)
+            v_rel = jnp.abs(
+                (v_ice(D_i) if v_i_at is None else v_i_at) - v_liq)
         T_c_safe = jnp.where(jnp.abs(T_c) > 0, T_c,
                              -jnp.asarray(machine_eps(dt), dt))
         Ri = (D_l * 1e6 * v_rel) / (2 * T_c_safe)
@@ -298,23 +315,33 @@ def bulk_liquid_ice_collision_sources(
     wet-growth densification (reference src/P3_processes.jl:533-655).
 
     The cloud inner integral uses quadrature. The rain inner integral
-    (``rain_inner``) is either
+    (``rain_inner``) is one of
 
-    * ``"quadrature"`` (default): Gauss nodes split at the velocity-
-      crossover diameter ``D*`` — each side of the ``|v_i - v_l|`` kink
-      is smooth, so per-segment Gauss quadrature converges spectrally,
-      and the rime-volume integral rides in the same node pass. On TPU
-      this is ~15x cheaper than the closed form: direct integrand
-      evaluation is a handful of ``exp`` per node, where each
-      incomplete-gamma in the flux sums is a fixed 40-iteration
-      series/continued-fraction loop on the VPU; or
+    * ``"quadrature"`` (default): Gauss nodes over the per-CELL rain
+      window ``[r_lo, r_hi]`` — the node positions are independent of
+      the ice node, so the transcendental factors (Chen2022 rain
+      velocity, rain PSD, drop mass) are evaluated once per liquid node
+      and broadcast across the whole ice axis; the (ice x liquid) cross
+      space is pure polynomial arithmetic. The ``|v_i - v_l|`` kink is
+      integrated through un-split: the rain PSD decays fast enough that
+      the kink neighborhood carries little mass (measured <=3e-3
+      relative on the bulk moments at GL-8 vs a GL-64 split reference —
+      an order below the GL-8 quadrature-ladder gate). No crossover
+      solve needed;
+    * ``"quadrature_split"``: Gauss nodes split at the velocity-
+      crossover diameter ``D*`` (fixed-iteration Brent) — each side of
+      the kink is smooth, so per-segment quadrature converges
+      spectrally (matches the closed form to 1e-11 at f64/GL-16). ``D*``
+      depends on the ice node, so every liquid-node factor is
+      re-evaluated per (ice node, cell) — ~3x the transcendental
+      volume of ``"quadrature"``;
     * ``"closed_form"``: the reference's incomplete-gamma flux sums
       (``src/P3_processes.jl:326-427``) via shared two-sided endpoint
-      ladders — kept as the cross-validation path
-      (``tests/test_p3_processes.py`` pins quadrature vs closed form).
+      ladders — the exactness anchor; each incomplete gamma is a fixed
+      40-iteration series/continued-fraction loop on the VPU, ~15x the
+      cost of the split quadrature.
 
-    Both use the same crossover-diameter Brent solve for the
-    (SB2006-exponential x Chen2022) velocity pair.
+    ``tests/test_p3_processes.py`` pins all three against each other.
     """
     if quad is None:
         quad = default_quadrature()
@@ -360,11 +387,12 @@ def bulk_liquid_ice_collision_sources(
     Dl = Dl_c[:, None]                          # (n_l, 1, *cell)
     wl = wl_c[:, None]
     K = k0[None] + k1[None] * Dl + k2 * Dl**2
-    dV = K * jnp.abs(v_i_at_Di[None] - v_liq(Dl))  # E = 1
+    v_rel_c = jnp.abs(v_i_at_Di[None] - v_liq(Dl_c)[:, None])
+    dV = K * v_rel_c  # E = 1
     nl = n_c(Dl)
     t1 = dV * nl
     t2 = t1 * m_liq(Dl)
-    t3 = t2 / rho_rim_loc(Di[None], Dl, v_i_at_Di[None])
+    t3 = t2 / rho_rim_loc(Di[None], Dl, v_rel=v_rel_c)
     dN_c_col = jnp.sum(t1 * wl, axis=0)         # per ice node
     dM_c_col = jnp.sum(t2 * wl, axis=0)
     dB_c_col = jnp.sum(t3 * wl, axis=0)
@@ -375,18 +403,48 @@ def bulk_liquid_ice_collision_sources(
     rain_valid = (N0r > 0) & (r_hi > r_lo)
     r_lo_s = jnp.where(rain_valid, r_lo, jnp.ones_like(r_lo))
     r_hi_s = jnp.where(rain_valid, r_hi, 2 * jnp.ones_like(r_hi))
-    Dstar = _crossover_diameter(v_i_at_Di, v_liq, r_lo_s, r_hi_s, dt)
+    n_r = lambda D: CM2.size_distribution_rain(pdf_r, L_r / rho_a,
+                                               rho_a, N_r, D)
 
     if rain_inner == "quadrature":
-        # Kink-split quadrature: ``D*`` depends on the ice node, so the
-        # rain node positions are per-(ice node, cell). The number, mass,
-        # and rime-volume moments share one integrand evaluation. A wrong
-        # crossover (no crossing in the window: Brent unbracketed) only
-        # moves the split point of a then-smooth integrand — never the
-        # value. Invalid rain windows integrate over the dummy [1, 2] m
+        # Per-cell fixed nodes (see docstring): evaluate every liquid-
+        # node factor once on (n_l, *cell), broadcast across the ice
+        # axis. Invalid rain windows integrate over the dummy [1, 2] m
         # window where n_r underflows to 0 and are masked below anyway.
-        n_r = lambda D: CM2.size_distribution_rain(pdf_r, L_r / rho_a,
-                                                   rho_a, N_r, D)
+        if in_pallas_trace():
+            # VMEM-lean: accumulate liquid nodes one at a time; each
+            # node's transcendentals are cell-shaped, the cross term is
+            # (n_i, *cell)
+            zero = jnp.zeros_like(k0)
+            dN_r_col, dM_r_col, dB_r_col = zero, zero, zero
+            for Dl_n, w_n in _node_iter(quad, r_lo_s, r_hi_s):
+                K_n = (k2 * Dl_n + k1) * Dl_n + k0
+                v_rel = jnp.abs(v_i_at_Di - v_liq(Dl_n))
+                t1 = K_n * v_rel * n_r(Dl_n) * w_n
+                t2 = t1 * m_liq(Dl_n)
+                dN_r_col = dN_r_col + t1
+                dM_r_col = dM_r_col + t2
+                dB_r_col = dB_r_col + t2 / rho_rim_loc(Di, Dl_n,
+                                                       v_rel=v_rel)
+        else:
+            Dl_r, wl_r = _nodes(quad, r_lo_s, r_hi_s)     # (n_l, *cell)
+            v_l = v_liq(Dl_r)
+            nr_v = n_r(Dl_r)
+            ml_v = m_liq(Dl_r)
+            Dlr, wlr = Dl_r[:, None], wl_r[:, None]
+            K_n = (k2 * Dlr + k1[None]) * Dlr + k0[None]
+            v_rel = jnp.abs(v_i_at_Di[None] - v_l[:, None])
+            t1 = K_n * v_rel * nr_v[:, None]
+            t2 = t1 * ml_v[:, None]
+            t3 = t2 / rho_rim_loc(Di[None], Dlr, v_rel=v_rel)
+            dN_r_col = jnp.sum(t1 * wlr, axis=0)
+            dM_r_col = jnp.sum(t2 * wlr, axis=0)
+            dB_r_col = jnp.sum(t3 * wlr, axis=0)
+    elif rain_inner == "quadrature_split":
+        # A wrong crossover (no crossing in the window: Brent
+        # unbracketed) only moves the split point of a then-smooth
+        # integrand — never the value.
+        Dstar = _crossover_diameter(v_i_at_Di, v_liq, r_lo_s, r_hi_s, dt)
         zero = jnp.zeros_like(k0)
         dN_r_col, dM_r_col, dB_r_col = zero, zero, zero
         lo_b = r_lo_s + jnp.zeros_like(Dstar)
@@ -401,7 +459,8 @@ def bulk_liquid_ice_collision_sources(
                     t2 = t1 * m_liq(Dl_n)
                     dN_r_col = dN_r_col + t1
                     dM_r_col = dM_r_col + t2
-                    dB_r_col = dB_r_col + t2 / rho_rim_loc(Di, Dl_n, v_i_at_Di)
+                    dB_r_col = dB_r_col + t2 / rho_rim_loc(Di, Dl_n,
+                                                           v_i_at_Di)
             else:
                 Dl_n, w_n = _nodes(quad, a, b)   # (n_l, n_i, *cell)
                 K_n = (k2 * Dl_n + k1[None]) * Dl_n + k0[None]
@@ -419,6 +478,7 @@ def bulk_liquid_ice_collision_sources(
         # the four exponential velocity terms costs one gamma_inc pair
         # per endpoint instead of six per moment (reference flux
         # structure: src/P3_processes.jl:344-415).
+        Dstar = _crossover_diameter(v_i_at_Di, v_liq, r_lo_s, r_hi_s, dt)
         lam_r = 1 / jnp.maximum(Dr_mean, tiny)
 
         def segment_moment_diffs(z0, alpha):
@@ -528,14 +588,23 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
 
     Pass ``nodes`` (step-shared :class:`P3.IceQuadNodes`) to reuse the
     outer-axis bounds/velocity/PSD tables (the inner axis depends on the
-    outer node and is always evaluated fresh); ``quad`` then only sets
-    the inner node count.
+    outer node and is always evaluated fresh). The inner rule runs at
+    HALF the outer order (floor 4): the error at production orders is
+    dominated by the outer axis' regime/cutoff kinks, not the inner
+    count (measured: outer-8 inner-4 is indistinguishable from
+    outer-8 inner-8 across rimed/unrimed states, both ~kink-limited),
+    and every inner node costs a full Chen2022 ice-velocity evaluation.
     """
+    from ..utils.quadrature import GaussLegendre
+
     if quad is None:
         quad = default_quadrature()
     dt = float_dtype(rho_a, loglambda)
     n_i = P3.size_distribution(state, loglambda)
     v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
+    # host-side rule: _node_iter slices it to SCALAR nodes, so the inner
+    # tables never become in-kernel array constants (Mosaic-safe)
+    inner_quad = GaussLegendre(max(quad.n // 2, 4))
 
     if nodes is None:
         p = machine_eps(dt)
@@ -550,7 +619,8 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
         # inner nodes over [D_lo, D1], accumulated node-by-node (no
         # (n_inner, n_outer, *cell) tensor — see _node_iter)
         acc = jnp.zeros_like(D1_c)
-        for D2, w2 in _node_iter(quad, D_lo + jnp.zeros_like(D1_c), D1_c):
+        for D2, w2 in _node_iter(inner_quad,
+                                 D_lo + jnp.zeros_like(D1_c), D1_c):
             v2 = v_ice(D2)
             r2 = jnp.sqrt(P3.ice_area(state, D2) / PI)
             K = PI * (r1 + r2) ** 2

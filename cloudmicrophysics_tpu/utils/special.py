@@ -398,6 +398,46 @@ def gamma_inc_upper(a, x):
 _HALLEY_ITERS = 15  # reference src/Utilities.jl:225
 
 
+def _ndtri_acklam(p):
+    """Standard-normal inverse CDF, Acklam's rational approximation
+    (max |rel err| ~1.15e-9) — pure arithmetic + log/sqrt, so it lowers
+    on Mosaic (erfinv does not). Central + two tail branches, evaluated
+    branchlessly."""
+    dt = p.dtype
+    a_ = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+    b_ = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+    c_ = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+    d_ = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+    tiny = jnp.asarray(floatmin(dt), dt)
+    p_c = jnp.clip(p, tiny, 1 - machine_eps(dt))
+
+    def poly(cs, x):
+        r = jnp.zeros_like(x) + cs[0]
+        for ci in cs[1:]:
+            r = r * x + ci
+        return r
+
+    # central region
+    qc = p_c - 0.5
+    r = qc * qc
+    x_mid = qc * poly(a_, r) / (poly(b_, r) * r + 1)
+    # lower tail
+    ql = jnp.sqrt(-2 * jnp.log(jnp.where(p_c < 0.02425, p_c, 0.01)))
+    x_lo = poly(c_, ql) / (poly(d_, ql) * ql + 1)
+    # upper tail
+    qu = jnp.sqrt(-2 * jnp.log(jnp.where(p_c > 1 - 0.02425, 1 - p_c, 0.01)))
+    x_hi = -poly(c_, qu) / (poly(d_, qu) * qu + 1)
+    return jnp.where(p_c < 0.02425, x_lo,
+                     jnp.where(p_c > 1 - 0.02425, x_hi, x_mid))
+
+
 def _gamma_inc_inv_impl(a, p, q, n_iters=_HALLEY_ITERS):
     dt = float_dtype(a, p, q)
     a = jnp.asarray(a, dt)
@@ -420,7 +460,15 @@ def _gamma_inc_inv_impl(a, p, q, n_iters=_HALLEY_ITERS):
     lgamma_a = _lgamma_pos(a)
     a_safe = jnp.maximum(a, tiny)
     guess_lo = jnp.exp((jnp.log(p_safe) + _lgamma_pos(a + 1)) / a_safe)
-    guess_hi = a - jnp.log(q_safe)
+    # Large-x start: Wilson-Hilferty (chi-square cube-of-normal), far
+    # closer than the reference's a - log(q) (e.g. at q = 1e-5 WH is
+    # within ~5e-2 where a - log(q) can be off by >2x), so upper-tail
+    # quantiles converge in ~3 Halley steps instead of ~6. The reference
+    # start is kept as the fallback where WH collapses (t <= 0, small a).
+    z = -_ndtri_acklam(q_safe)  # = ndtri(p), via q for upper-tail accuracy
+    t_wh = 1 - 1 / (9 * a_safe) + z / (3 * jnp.sqrt(a_safe))
+    guess_ref = a - jnp.log(q_safe)
+    guess_hi = jnp.where(t_wh > 0.1, a * t_wh**3, guess_ref)
     x0 = jnp.where((p < 0.5) | (guess_lo < 0.5), guess_lo, guess_hi)
     x0 = jnp.maximum(x0, tiny)
 
@@ -473,12 +521,12 @@ def gamma_inc_inv(a, p, q, n_iters=_HALLEY_ITERS):
 
     ``n_iters`` trades precision for VPU work — each Halley step costs a
     full fixed-trip :func:`gamma_inc`. PSD integration-bound quantiles
-    (tail windows whose integrand is ~0 at the endpoints) use 6:
-    measured <=1e-7 relative on the bound over a in [0.3, 20] at the
-    1e-5/1e-6 tails (upper-tail quantiles converge slowest from the
-    ``a - log q`` start; 4 iterations leave up to 2e-2 there), far below
-    quadrature truncation error at a 2.5x saving. The JVP (inverse
-    function theorem) is exact regardless of ``n_iters``.
+    (tail windows whose integrand is ~0 at the endpoints) use 4:
+    measured <=2.6e-7 relative on the bound over a in [0.3, 20] at the
+    1e-5/1e-6 tails (the Wilson-Hilferty upper-tail start converges in
+    3-4 steps; the reference's ``a - log q`` start needed 6), far below
+    quadrature truncation error at a ~4x saving over the full 15. The
+    JVP (inverse function theorem) is exact regardless of ``n_iters``.
     """
     if _RAW_SPECIAL.get():
         return _gamma_inc_inv_impl(a, p, q, n_iters)

@@ -198,9 +198,15 @@ class TestBMTJacobian:
     """Jacobian of the full 2M+P3 fused tendencies w.r.t. the 8 species
     (reference test/ad_compat_tests.jl:106-183)."""
 
+    # float64 rows ride in the slow tier: the finiteness contract is
+    # structural (eps gates, where-sanitization), already exercised at
+    # float32, and each f64 regime recompiles the full fused Jacobian
     @pytest.mark.parametrize("regime", list(REGIMES))
-    def test_finite_jacobian(self, mp, tps, regime, dtype):
-        dt = jnp.dtype(dtype)
+    @pytest.mark.parametrize(
+        "jac_dtype",
+        ["float32", pytest.param("float64", marks=pytest.mark.slow)])
+    def test_finite_jacobian(self, mp, tps, regime, jac_dtype):
+        dt = jnp.dtype(jac_dtype)
         r = REGIMES[regime]
         x = jnp.asarray(r["x"], dt)
         loglam = (jnp.asarray(r["loglam"], dt) if r["loglam"] is not None

@@ -187,22 +187,35 @@ class TestCollisions:
             np.testing.assert_allclose(float(v), 0.0, atol=1e-20)
 
     @pytest.mark.parametrize("T", [260.0, 271.0])
-    def test_rain_inner_quadrature_matches_closed_form(self, T):
-        # the production kink-split quadrature must reproduce the
-        # reference's closed-form incomplete-gamma flux sums
+    def test_rain_inner_split_matches_closed_form(self, T):
+        # the kink-split quadrature must reproduce the reference's
+        # closed-form incomplete-gamma flux sums
         # (src/P3_processes.jl:326-427) — same integral, two evaluation
         # strategies. dB_rim is compared loosely: the closed-form path
         # integrates the rime-volume integrand over the UNSPLIT rain
-        # window while the quadrature path splits at D*, and the
-        # Cober-List rime-density lookup has interior kinks that neither
-        # node placement resolves — both sit ~1e-4 from the GL64 value.
-        sq = self._sources(T, rain_inner="quadrature")
+        # window while the split path splits at D*, and the Cober-List
+        # rime-density lookup has interior kinks that neither node
+        # placement resolves — both sit ~1e-4 from the GL64 value.
+        sq = self._sources(T, rain_inner="quadrature_split")
         sc = self._sources(T, rain_inner="closed_form")
         for name, vq, vc in zip(sq._fields, sq, sc):
             rtol = 1e-3 if name == "dB_rim" else 2e-6
             np.testing.assert_allclose(
                 float(vq), float(vc),
                 rtol=rtol, atol=1e-18, err_msg=name)
+
+    @pytest.mark.parametrize("T", [260.0, 271.0])
+    def test_rain_inner_default_matches_split(self, T):
+        # the production per-cell-node path integrates the |v_i - v_l|
+        # kink un-split; its residual vs the (exact) split path is the
+        # kink quadrature error — measured <=3e-3 at GL-8, well inside
+        # the GL-8 quadrature-ladder gate (5e-2)
+        sq = self._sources(T, rain_inner="quadrature")
+        ss = self._sources(T, rain_inner="quadrature_split")
+        for name, vq, vs in zip(sq._fields, sq, ss):
+            np.testing.assert_allclose(
+                float(vq), float(vs),
+                rtol=1e-2, atol=1e-18, err_msg=name)
 
 
 class TestIceSelfCollection:
@@ -259,7 +272,12 @@ class TestBMT2MP3:
         for v in out:
             assert np.isfinite(float(v))
 
-    def test_fused_jit_grid(self, dtype):
+    # f64 in the slow tier: same fused program, second full compile
+    @pytest.mark.parametrize(
+        "grid_dtype",
+        ["float32", pytest.param("float64", marks=pytest.mark.slow)])
+    def test_fused_jit_grid(self, grid_dtype):
+        dtype = np.dtype(grid_dtype)
         n = 16
         T = jnp.asarray(np.linspace(250, 280, n), dtype)
         q_ice = jnp.asarray(np.geomspace(1e-7, 1e-3, n), dtype)

@@ -64,7 +64,11 @@ def baseline():
 # is not a segment boundary — per-order convergence there is algebraic,
 # not spectral (segment-splitting the inner span was measured to buy
 # only 9.4e-3 -> 2.5e-3 at 4x the inner-node cost; not taken).
-LADDER = [(50, 5e-3), (25, 5e-2), (15, 2e-1), (16, 2e-2), (8, 5e-2)]
+# The CG rungs compile three extra full-tendency programs and gate
+# nothing the production orders use, so they ride in the slow tier.
+_s = pytest.mark.slow
+LADDER = [pytest.param(50, 5e-3, marks=_s), pytest.param(25, 5e-2, marks=_s),
+          pytest.param(15, 2e-1, marks=_s), (16, 2e-2), (8, 5e-2)]
 
 
 @pytest.mark.parametrize("order,tol", LADDER)

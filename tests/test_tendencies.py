@@ -282,17 +282,19 @@ class TestGraftEntry:
 
 
 class TestColumnP3:
-    # order-16 quadrature: the column-step contract under test (finiteness,
+    # order-8 quadrature: the column-step contract under test (finiteness,
     # warm start, sedimentation transport) is order-independent, and the
     # reduced order keeps the compile fast on the CPU test backend
     @staticmethod
     def _mp():
         from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
-        return microphysics_2m_params(with_ice=True, quadrature_order=16)
+        return microphysics_2m_params(with_ice=True, quadrature_order=8)
 
     @staticmethod
-    def _step(state, guess=None):
+    def _step(state, guess=None, dt=1.0, dz=100.0):
+        # dt/dz ride as traced scalars so every test in the class shares
+        # the same two compiled programs (same state shape)
         from cloudmicrophysics_tpu.models.column import step_column_p3
 
         if not hasattr(TestColumnP3, "_step_jit"):
@@ -303,8 +305,8 @@ class TestColumnP3:
             TestColumnP3._step_jit_cold = jax.jit(
                 lambda s, dt, dz: step_column_p3(s, mp, TPS, dt, dz))
         if guess is None:
-            return TestColumnP3._step_jit_cold(state, 1.0, 100.0)
-        return TestColumnP3._step_jit(state, guess, 1.0, 100.0)
+            return TestColumnP3._step_jit_cold(state, dt, dz)
+        return TestColumnP3._step_jit(state, guess, dt, dz)
 
     def _state(self, ncol=4, nlev=8):
         f = lambda v: jnp.full((ncol, nlev), v, jnp.float32)
@@ -342,28 +344,25 @@ class TestColumnP3:
                 err_msg=name)
 
     def test_ice_sediments_downward(self):
-        from cloudmicrophysics_tpu.models.column import step_column_p3
-
-        mp = self._mp()
-        st = self._state(ncol=2, nlev=12)
-        # ice only in the top half; cold column so it doesn't melt
-        mask = np.zeros((2, 12), np.float32)
-        mask[:, 8:] = 1.0
+        # default (4, 8) state so the class's shared compiled programs are
+        # reused (dt/dz are traced scalars — no extra compile)
+        st = self._state()
+        mask = np.zeros((4, 8), np.float32)
+        mask[:, 5:] = 1.0  # ice only in the top levels; cold: no melt
         st = st._replace(
-            T=jnp.full((2, 12), 250.0, jnp.float32),
+            T=jnp.full((4, 8), 250.0, jnp.float32),
             q_ice=jnp.asarray(2e-3 * mask),
             n_ice=jnp.asarray(5e5 * mask),
             q_rim=jnp.asarray(5e-4 * mask),
             b_rim=jnp.asarray(1e-6 * mask),
-            q_rai=jnp.zeros((2, 12), jnp.float32),
-            n_rai=jnp.zeros((2, 12), jnp.float32),
+            q_rai=jnp.zeros((4, 8), jnp.float32),
+            n_rai=jnp.zeros((4, 8), jnp.float32),
         )
-        step = jax.jit(lambda s, g: step_column_p3(s, mp, TPS, 5.0, 50.0, g))
-        new, guess = jax.jit(lambda s: step_column_p3(s, mp, TPS, 5.0, 50.0))(st)
+        new, guess = self._step(st, dt=5.0, dz=50.0)
         for _ in range(4):
-            new, guess = step(new, guess)
-        before = np.asarray(st.q_ice)[0, :8].sum()
-        after = np.asarray(new.q_ice)[0, :8].sum()
+            new, guess = self._step(new, guess, dt=5.0, dz=50.0)
+        before = np.asarray(st.q_ice)[0, :5].sum()
+        after = np.asarray(new.q_ice)[0, :5].sum()
         assert after > before  # ice mass moved into the lower levels
 
 
