@@ -268,6 +268,7 @@ def step_column_p3(state: "ColumnStateP3", mp, tps: ThermodynamicsParameters,
 
     from ..ops import m2 as CM2
     from ..ops import p3 as P3
+    from .p3_tendencies import p3_step_aux
 
     ice = mp.ice
     sb = mp.warm_rain.seifert_beheng
@@ -281,10 +282,18 @@ def step_column_p3(state: "ColumnStateP3", mp, tps: ThermodynamicsParameters,
     loglam = jax.lax.stop_gradient(
         P3.get_distribution_loglambda(pstate, loglambda_guess))
 
+    # ONE sanitized state + ice node table for the whole step: the
+    # tendency assembly and the sedimentation velocities contract the
+    # same bounds/velocity/PSD tables. Cells without real ice get
+    # placeholder velocities from the sanitized state, but their
+    # sedimentation fluxes are exactly zero (flux = rho w q with q = 0).
+    aux = p3_step_aux(mp, rho, state.q_ice, state.n_ice, state.q_rim,
+                      state.b_rim, loglam)
+
     rates = BMT.bulk_tendencies_2m(
         mp, tps, rho, state.T, state.q_tot, state.q_lcl, state.n_lcl,
         state.q_rai, state.n_rai, state.q_ice, state.n_ice,
-        state.q_rim, state.b_rim, loglam)
+        state.q_rim, state.b_rim, loglam, p3_aux=aux)
 
     # rain sedimentation (SB2006 number/mass-weighted fall speeds)
     vt_n_rai, vt_m_rai = CM2.rain_terminal_velocity(
@@ -293,16 +302,11 @@ def step_column_p3(state: "ColumnStateP3", mp, tps: ThermodynamicsParameters,
     sed_n_rai = sedimentation_tendency(rho, state.n_rai, vt_n_rai, dz)
 
     # ice sedimentation: P3 bulk fall speeds; rime advects with the bulk
-    # ice mass flux (single-category scheme — all ice falls together).
-    # One shared node table feeds both weighted velocities.
-    loglam_s = jnp.where(jnp.isfinite(loglam), loglam,
-                         jnp.full_like(loglam, 8.0))
-    ice_nodes = P3.ice_quadrature_nodes(ice.terminal_velocity, rho, pstate,
-                                        loglam_s, p=1e-6, quad=ice.quad)
+    # ice mass flux (single-category scheme — all ice falls together)
     vt_n_ice = P3.ice_terminal_velocity_number_weighted(
-        ice.terminal_velocity, rho, pstate, loglam_s, nodes=ice_nodes)
+        ice.terminal_velocity, rho, aux.state, aux.loglam, nodes=aux.nodes)
     vt_m_ice = P3.ice_terminal_velocity_mass_weighted(
-        ice.terminal_velocity, rho, pstate, loglam_s, nodes=ice_nodes)
+        ice.terminal_velocity, rho, aux.state, aux.loglam, nodes=aux.nodes)
     sed_q_ice = sedimentation_tendency(rho, state.q_ice, vt_m_ice, dz)
     sed_n_ice = sedimentation_tendency(rho, state.n_ice, vt_n_ice, dz)
     sed_q_rim = sedimentation_tendency(rho, state.q_rim, vt_m_ice, dz)

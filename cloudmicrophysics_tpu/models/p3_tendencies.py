@@ -15,6 +15,8 @@ equivalent (all cells of a TPU batch run the same code path).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from ..ops import ice_nucleation as CM_HetIce
@@ -50,14 +52,58 @@ def _subdep_rate(tau, tps, rho, T, q_tot, q_lcl, q_rai, q_ice):
     return _relaxation_tendency(qv - qv_sat, q_ice, timescale, timescale)
 
 
+class P3StepAux(NamedTuple):
+    """Step-shared sanitized P3 evaluation context.
+
+    Built once per step (``p3_step_aux``) and reused by the tendency
+    assembly AND the column driver's sedimentation velocities — one
+    state construction, one bounds solve, one velocity/PSD node-table
+    evaluation for everything that contracts the ice PSD.
+    """
+
+    state: object     # sanitized P3State
+    loglam: object    # sanitized log_lambda
+    has_ice: object   # mask of cells with real ice
+    nodes: object     # IceQuadNodes on the sanitized state
+
+
+def p3_step_aux(mp, rho, q_ice, n_ice, q_rim, b_rim,
+                log_lambda) -> P3StepAux:
+    """Sanitized state + shared quadrature nodes for one P3 step.
+
+    Placeholder values keep every intermediate finite where ice is
+    absent; consumers mask with ``has_ice`` (the branchless equivalent
+    of the reference's ``q_ice > eps`` gate)."""
+    dt = float_dtype(rho, q_ice)
+    em = eps_numerics_2M_M(dt)
+    en = eps_numerics_2M_N(dt)
+    q_ice = clamp_to_nonneg(q_ice)
+    n_ice = clamp_to_nonneg(n_ice)
+    L_ice, N_ice = q_ice * rho, n_ice * rho
+    L_rim, B_rim = clamp_to_nonneg(q_rim) * rho, clamp_to_nonneg(b_rim) * rho
+    has_ice = (q_ice > em) & (n_ice > en)
+    L_ice_s = jnp.where(has_ice, L_ice, 1e-6)
+    N_ice_s = jnp.where(has_ice, N_ice, 1e3)
+    L_rim_s = jnp.where(has_ice, L_rim, 0.0)
+    B_rim_s = jnp.where(has_ice, B_rim, 0.0)
+    loglam_s = jnp.where(has_ice & jnp.isfinite(log_lambda),
+                         log_lambda, 8.0)
+    state = P3.state_from_prognostic(mp.ice.scheme, L_ice_s, N_ice_s,
+                                     L_rim_s, B_rim_s)
+    nodes = P3.ice_quadrature_nodes(mp.ice.terminal_velocity, rho, state,
+                                    loglam_s, p=1e-6, quad=mp.ice.quad)
+    return P3StepAux(state=state, loglam=loglam_s, has_ice=has_ice,
+                     nodes=nodes)
+
+
 def ice_tendencies_2m_p3(
     mp, tps: TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
     q_ice, n_ice, q_rim, b_rim, log_lambda, inpc_log_shift, warm,
+    aux: P3StepAux = None,
 ) -> Tendencies2M:
     """Add the P3 ice tendencies to precomputed warm-rain tendencies."""
     dt = float_dtype(rho, T)
     em = eps_numerics_2M_M(dt)
-    en = eps_numerics_2M_N(dt)
     zero = jnp.zeros_like(jnp.asarray(rho) * jnp.asarray(T))
 
     q_ice = zero if q_ice is None else clamp_to_nonneg(q_ice)
@@ -79,30 +125,16 @@ def ice_tendencies_2m_p3(
     # volumetric quantities
     L_lcl, L_rai = q_lcl * rho, q_rai * rho
     N_lcl, N_rai = n_lcl * rho, n_rai * rho
-    L_ice, N_ice = q_ice * rho, n_ice * rho
-    L_rim, B_rim = q_rim * rho, b_rim * rho
 
-    has_ice = (q_ice > em) & (n_ice > en)
-
-    # Sanitized state for the masked collision block: placeholder values
-    # keep every intermediate finite where ice is absent.
-    L_ice_s = jnp.where(has_ice, L_ice, 1e-6)
-    N_ice_s = jnp.where(has_ice, N_ice, 1e3)
-    L_rim_s = jnp.where(has_ice, L_rim, 0.0)
-    B_rim_s = jnp.where(has_ice, B_rim, 0.0)
-    loglam_s = jnp.where(has_ice & jnp.isfinite(log_lambda), log_lambda, 8.0)
-    state = P3.state_from_prognostic(p3, L_ice_s, N_ice_s, L_rim_s, B_rim_s)
+    if aux is None:
+        aux = p3_step_aux(mp, rho, q_ice, n_ice, q_rim, b_rim, log_lambda)
+    state, loglam_s, has_ice, ice_nodes = (
+        aux.state, aux.loglam, aux.has_ice, aux.nodes)
 
     dq_ice_dt = zero
     dn_ice_dt = zero
     dq_rim_dt = zero
     db_rim_dt = zero
-
-    # Shared ice quadrature nodes: ONE bounds solve and ONE velocity/PSD
-    # node-table evaluation feed collisions, self-collection, and melt
-    # (the reference recomputes these per integral).
-    ice_nodes = P3.ice_quadrature_nodes(vel, rho, state, loglam_s,
-                                        p=1e-6, quad=quad)
 
     # --- Liquid-ice collisions (masked) ---
     coll = P3P.bulk_liquid_ice_collision_sources(

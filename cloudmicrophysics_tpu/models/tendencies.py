@@ -505,9 +505,15 @@ def warm_rain_tendencies_2m(warm_rain, tps: TPS, T, q_tot, q_lcl, q_rai,
 
 def bulk_tendencies_2m(mp, tps: TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai,
                        n_rai, q_ice=None, n_ice=None, q_rim=None, b_rim=None,
-                       log_lambda=None, inpc_log_shift=None) -> Tendencies2M:
+                       log_lambda=None, inpc_log_shift=None,
+                       p3_aux=None) -> Tendencies2M:
     """2-moment fused tendencies: SB2006 warm rain, plus P3 ice when
     ``mp.ice`` is present (reference src/BulkMicrophysicsTendencies.jl:824-1083).
+
+    ``p3_aux`` optionally passes a step-shared
+    :class:`models.p3_tendencies.P3StepAux` (sanitized state + ice
+    quadrature nodes) so a column driver can reuse the same node tables
+    for its sedimentation velocities.
     """
     rho = clamp_to_nonneg(rho)
     q_tot = clamp_to_nonneg(q_tot)
@@ -531,6 +537,7 @@ def bulk_tendencies_2m(mp, tps: TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai,
         mp, tps, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
         q_ice, n_ice, q_rim, b_rim, log_lambda, inpc_log_shift,
         warm=(dq_lcl_dt, dn_lcl_dt, dq_rai_dt, dn_rai_dt),
+        aux=p3_aux,
     )
 
 
