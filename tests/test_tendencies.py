@@ -329,6 +329,30 @@ class TestColumnP3:
         # rime mass never exceeds total ice mass
         assert (np.asarray(new.q_rim) <= np.asarray(new.q_ice) + 1e-12).all()
 
+    def test_shared_aux_matches_internal(self):
+        # the step-shared P3StepAux context (one sanitized state + node
+        # table for tendencies AND sedimentation velocities) must be
+        # bit-identical to letting the tendency assembly build its own
+        from cloudmicrophysics_tpu.models.p3_tendencies import p3_step_aux
+        from cloudmicrophysics_tpu.models.tendencies import (
+            bulk_tendencies_2m,
+        )
+
+        mp = self._mp()
+        f = lambda v: jnp.full((8,), v, jnp.float32)
+        rho = f(1.1)
+        kw = dict(q_ice=f(5e-4), n_ice=f(1e5), q_rim=f(1e-4),
+                  b_rim=f(2e-7), log_lambda=f(9.0))
+        args = (mp, TPS, rho, f(263.0), f(6e-3), f(1e-3), f(9e7),
+                f(5e-4), f(9e5))
+        aux = p3_step_aux(mp, rho, kw["q_ice"], kw["n_ice"], kw["q_rim"],
+                          kw["b_rim"], kw["log_lambda"])
+        internal = bulk_tendencies_2m(*args, **kw)
+        external = bulk_tendencies_2m(*args, **kw, p3_aux=aux)
+        for name, a, b in zip(internal._fields, internal, external):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=name)
+
     def test_warm_start_matches_cold_start(self):
         # warm-start contract (reference
         # test/p3_shape_solver_warmstart_tests.jl:22-90): any guess must
