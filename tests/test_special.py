@@ -108,6 +108,31 @@ class TestGammaInc:
         g = jax.grad(lambda x: ut.gamma_inc(2.5, x)[0])(jnp.float64(3.0))
         assert np.isfinite(g) and g != 0
 
+    def test_ndtri_acklam_vs_scipy(self):
+        # the Mosaic-safe rational normal-inverse-CDF behind the
+        # Wilson-Hilferty upper-tail start (Acklam: |rel err| ~1.15e-9)
+        import scipy.special as sps
+
+        p = jnp.asarray([1e-9, 1e-6, 0.02, 0.3, 0.5, 0.9, 0.97425,
+                         1 - 1e-6, 1 - 1e-9], jnp.float64)
+        got = np.asarray(ut._ndtri_acklam(p))
+        want = sps.ndtri(np.asarray(p))
+        np.testing.assert_allclose(got, want, rtol=5e-9, atol=5e-9)
+
+    def test_reduced_iteration_tail_quantiles(self):
+        # PSD integration bounds run n_iters=4: with the WH upper-tail
+        # start, both tails must sit within ~3e-7 of the converged
+        # inverse over the production a-range (see gamma_inc_inv
+        # docstring; the reference's a - log q start needed 6)
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(10 ** rng.uniform(-0.5, 1.3, 500))
+        for p in (1e-5, 1e-6, 1 - 1e-5, 1 - 1e-6):
+            pj = jnp.full_like(a, p)
+            x4 = ut.gamma_inc_inv(a, pj, 1 - pj, n_iters=4)
+            x15 = ut.gamma_inc_inv(a, pj, 1 - pj, n_iters=15)
+            np.testing.assert_allclose(np.asarray(x4), np.asarray(x15),
+                                       rtol=3e-7, err_msg=str(p))
+
     def test_jit_and_vmap(self, dtype):
         a = jnp.linspace(0.5, 8.0, 16, dtype=dtype)
         x = jnp.linspace(0.1, 12.0, 16, dtype=dtype)
