@@ -139,6 +139,23 @@ def main():
     results.append(("2m_warm", _throughput(jax.jit(warm_selfmap), (a2,), N),
                     N))
 
+    # --- 2M column step as the packed-state Pallas kernel (TPU only) ---
+    if dev == "tpu":
+        from cloudmicrophysics_tpu.kernels.column2m import (
+            pack_state_2m,
+            step_column_2m_pallas_packed,
+        )
+        from cloudmicrophysics_tpu.models.column import ColumnState2M
+
+        fc2 = lambda v: jnp.full((args_cli.n, args_cli.nlev), v, F)
+        st2 = ColumnState2M(rho=fc2(1.1), T=fc2(288.0), q_tot=fc2(6e-3),
+                            q_lcl=fc2(1e-3), n_lcl=fc2(9e7),
+                            q_rai=fc2(5e-4), n_rai=fc2(9e5))
+        jit2p = jax.jit(lambda p: step_column_2m_pallas_packed(
+            p, mp2, tps, 1.0, 100.0, block_cols=128))
+        results.append(("2m_step_pallas_packed",
+                        _throughput(jit2p, (pack_state_2m(st2),), N), N))
+
     # --- 2M + P3 ice (pointwise; loglambda solved once, held) ---
     from cloudmicrophysics_tpu.ops import p3 as P3
 

@@ -7,5 +7,5 @@ controls memory movement (block shape, grid, HBM<->VMEM pipelining).
 """
 
 from .column1m import step_column_1m_pallas
-from .column2m import step_column_2m_pallas
+from .column2m import step_column_2m_pallas, step_column_2m_pallas_packed
 from .column_p3 import step_column_p3_pallas

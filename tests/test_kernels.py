@@ -107,22 +107,54 @@ class TestColumn1MPallas:
 
 
 class TestColumn2MPallas:
+    @staticmethod
+    def _state():
+        from cloudmicrophysics_tpu.models.column import ColumnState2M
+
+        f = lambda v: jnp.full((32, 8), v, jnp.float32)
+        return ColumnState2M(rho=f(1.1), T=f(288.0), q_tot=f(6e-3),
+                             q_lcl=f(1e-3), n_lcl=f(9e7), q_rai=f(5e-4),
+                             n_rai=f(9e5))
+
     def test_matches_xla_fused_path(self):
         from cloudmicrophysics_tpu.kernels import step_column_2m_pallas
-        from cloudmicrophysics_tpu.models.column import (
-            ColumnState2M,
-            step_column_2m,
-        )
+        from cloudmicrophysics_tpu.models.column import step_column_2m
         from cloudmicrophysics_tpu.parameters import microphysics_2m_params
 
         mp = microphysics_2m_params()
-        f = lambda v: jnp.full((32, 8), v, jnp.float32)
-        st = ColumnState2M(rho=f(1.1), T=f(288.0), q_tot=f(6e-3),
-                           q_lcl=f(1e-3), n_lcl=f(9e7), q_rai=f(5e-4),
-                           n_rai=f(9e5))
+        st = self._state()
         ref = step_column_2m(st, mp, TPS, 1.0, 100.0)
         out = step_column_2m_pallas(st, mp, TPS, 1.0, 100.0,
                                     block_cols=8, interpret=True)
+        for name in ref._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)), rtol=2e-5, atol=1e-8,
+                err_msg=name)
+
+    def test_packed_state_matches_xla(self):
+        from cloudmicrophysics_tpu.kernels.column2m import (
+            pack_state_2m,
+            step_column_2m_pallas_packed,
+            unpack_state_2m,
+        )
+        from cloudmicrophysics_tpu.models.column import step_column_2m
+        from cloudmicrophysics_tpu.parameters import microphysics_2m_params
+
+        mp = microphysics_2m_params()
+        st = self._state()
+        packed = pack_state_2m(st)
+        rt = unpack_state_2m(packed)
+        for name in st._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st, name)),
+                np.asarray(getattr(rt, name)), err_msg=name)
+        # in-kernel q_tot affine == pre-scaling the field
+        ref = step_column_2m(st._replace(q_tot=st.q_tot * 1.01 + 2e-9),
+                             mp, TPS, 1.0, 100.0)
+        out = unpack_state_2m(step_column_2m_pallas_packed(
+            packed, mp, TPS, 1.0, 100.0, block_cols=8, interpret=True,
+            q_tot_affine=(1.01, 2e-9)))
         for name in ref._fields:
             np.testing.assert_allclose(
                 np.asarray(getattr(out, name)),
