@@ -20,7 +20,7 @@ the surface precipitation rate diagnostic.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 from jax import Array

@@ -35,7 +35,7 @@ from ..parameters.p3 import (
     SlopePowerLaw,
 )
 from ..parameters.terminal_velocity import Chen2022VelType
-from ..utils.quadrature import QuadratureRule, default_quadrature, integrate_segments
+from ..utils.quadrature import QuadratureRule, default_quadrature
 from ..utils.special import (
     cbrt,
     eps_numerics_2M_M,
