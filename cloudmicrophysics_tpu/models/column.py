@@ -182,13 +182,46 @@ class ColumnState2M(NamedTuple):
 
 
 def step_column_2m(state: "ColumnState2M", mp, tps: ThermodynamicsParameters,
-                   dt, dz) -> "ColumnState2M":
+                   dt, dz, impl: str = "xla",
+                   block_cols: int = 128) -> "ColumnState2M":
     """One explicit Euler step of the SB2006 warm-rain column: fused
     process rates + number- and mass-weighted rain sedimentation
     (the 2M analog of :func:`step_column_1m`; velocities per reference
     src/Microphysics2M.jl:685-739, applied in the host-model upwind flux).
+
+    ``impl`` selects the compiled form (identical math):
+
+    * ``"xla"`` (default) — one jit-fused XLA program; runs on any
+      backend (measured 2.9e9 pts/s on v5e at 33M cells);
+    * ``"pallas"`` — the packed-state Pallas kernel
+      (:mod:`..kernels.column2m`): the 7 prognostic fields ride in one
+      ``(7, ncol, nlev)`` HBM buffer, the whole step is one tiled HBM
+      pass (measured 4.2e9 pts/s on v5e — the production fast path).
+      ``block_cols`` is halved automatically until it divides ``ncol``;
+      on non-TPU backends the kernel runs in interpret mode (slow —
+      intended only for parity tests and mesh dryruns).
     """
     from ..ops import m2 as CM2
+
+    if impl == "pallas":
+        import jax
+
+        from ..kernels.column2m import (
+            pack_state_2m,
+            step_column_2m_pallas_packed,
+            unpack_state_2m,
+        )
+
+        ncol = state.rho.shape[0]
+        bc = max(block_cols, 1)
+        while ncol % bc:
+            bc //= 2
+        packed = step_column_2m_pallas_packed(
+            pack_state_2m(state), mp, tps, dt, dz, block_cols=bc,
+            interpret=jax.default_backend() != "tpu")
+        return unpack_state_2m(packed)
+    if impl != "xla":
+        raise ValueError(f"unknown impl {impl!r} (expected 'xla'|'pallas')")
 
     sb = mp.warm_rain.seifert_beheng
     rates = BMT.bulk_tendencies_2m(

@@ -92,6 +92,23 @@ def p3_step_aux(mp, rho, q_ice, n_ice, q_rim, b_rim,
                                      L_rim_s, B_rim_s)
     nodes = P3.ice_quadrature_nodes(mp.ice.terminal_velocity, rho, state,
                                     loglam_s, p=1e-6, quad=mp.ice.quad)
+    # Pin the shared tables as materialized values: without the barrier
+    # XLA duplicates the whole bounds-solve + velocity/PSD node-table
+    # producer chain into EVERY consumer fusion (collisions, self-
+    # collection, melt, sedimentation velocities) — measured ~2x the
+    # transcendental volume of the full 2M+P3 step at GL-16. Only the
+    # cell-shaped arrays go through the barrier (the params pytree keeps
+    # its Python-float leaves as trace-time constants). Skipped inside
+    # Pallas traces (Mosaic kernels manage their own fusion).
+    from ..utils.special import in_pallas_trace
+    import jax as _jax
+
+    if not in_pallas_trace():
+        (arrs, loglam_s, has_ice, nodes) = _jax.lax.optimization_barrier((
+            (state.rho_q_ice, state.rho_n_ice, state.F_rim, state.rho_rim,
+             state.rho_g, state.D_th, state.D_gr, state.D_cr),
+            loglam_s, has_ice, nodes))
+        state = P3.P3State(state.params, *arrs)
     return P3StepAux(state=state, loglam=loglam_s, has_ice=has_ice,
                      nodes=nodes)
 

@@ -358,7 +358,10 @@ def bulk_liquid_ice_collision_sources(
     n_c = lambda D: CM2.size_distribution_cloud(pdf_c, L_c / rho_a, rho_a,
                                                 N_c, D)
 
-    p = 1e-5 if ice_nodes is None else 1e-6  # shared nodes pin p = 1e-6
+    # One tail quantile for every entry point: the same physical inputs
+    # must give the same collision sources whether or not a shared node
+    # table is passed (the shared IceQuadNodes context also pins 1e-6).
+    p = 1e-6
     c_lo, c_hi = CM2.size_distribution_bounds_cloud(pdf_c, L_c / rho_a,
                                                     rho_a, N_c, p)
     r_lo, r_hi = CM2.size_distribution_bounds_rain(pdf_r, L_r / rho_a,
@@ -575,45 +578,93 @@ def bulk_liquid_ice_collision_sources(
 # ---------------------------------------------------------------------------
 
 def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
-                        nodes=None):
-    """Aggregation loss rate of ice number [1/m^3/s] — double integral with
-    the inner integral split at the |v1 - v2| cusp (D2 = D1).
+                        nodes=None, inner: str = "blocked"):
+    """Aggregation loss rate of ice number [1/m^3/s] — the symmetric
+    double integral ``1/2 ∬ n(D1) n(D2) K(D1, D2) |v(D1) - v(D2)|``
+    (reference src/P3_processes.jl:676-712), computed as the ordered-pair
+    integral over ``D2 < D1``. Two modes:
 
-    The integrand ``n(D1) n(D2) K(D1, D2) |v(D1) - v(D2)|`` is symmetric
-    under D1 <-> D2, so only the lower triangle (inner D2 in [D_lo, D1])
-    is integrated and doubled — half the transcendental work of the
-    reference's both-halves cusp split (src/P3_processes.jl:676-712) for
-    the same integral; each half is smooth so Gauss-Legendre accuracy is
-    unchanged.
+    * ``"blocked"`` (default): segment-blocked hybrid on the step-shared
+      node table. The ordered-pair domain splits into (a) CROSS-SEGMENT
+      blocks — ``D2`` in a strictly lower mass-law segment than ``D1`` —
+      contracted directly from the tabulated ``v``/``n`` in
+      :class:`P3.IceQuadNodes` (pure polynomial pair arithmetic, ZERO
+      fresh transcendentals; ``|v1 - v2|`` is evaluated exactly at every
+      node pair so no monotonicity assumption enters), and (b) the four
+      WITHIN-SEGMENT triangles ``a_s < D2 < D1``, integrated with a few
+      fresh inner nodes per outer node. Each within-segment span is
+      short, single-regime, and entirely below the ``D2 = D1`` cusp, so
+      low-order Gauss-Legendre converges fast — unlike the round-4
+      ``"triangle"`` inner, whose half-order axis spanned up to four
+      segments of C0-kinked integrand in one rule (its GL-8 error
+      breached 5e-2 on large-aggregate states). Fresh Chen2022
+      evaluations per cell drop from ``(n/2) * 4n`` to ``(n/4) * 4n``
+      while accuracy IMPROVES (measured in tests/test_p3_processes.py).
+    * ``"triangle"``: the round-4 form — inner nodes over the full
+      ``[D_lo, D1]`` at half order, doubled by symmetry. Kept as a
+      cross-pin anchor.
 
     Pass ``nodes`` (step-shared :class:`P3.IceQuadNodes`) to reuse the
-    outer-axis bounds/velocity/PSD tables (the inner axis depends on the
-    outer node and is always evaluated fresh). The inner rule runs at
-    HALF the outer order (floor 4): the error at production orders is
-    dominated by the outer axis' regime/cutoff kinks, not the inner
-    count (measured: outer-8 inner-4 is indistinguishable from
-    outer-8 inner-8 across rimed/unrimed states, both ~kink-limited),
-    and every inner node costs a full Chen2022 ice-velocity evaluation.
+    bounds/velocity/PSD tables.
     """
     from ..utils.quadrature import GaussLegendre
 
     if quad is None:
         quad = default_quadrature()
     dt = float_dtype(rho_a, loglambda)
-    n_i = P3.size_distribution(state, loglambda)
-    v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
-    # host-side rule: _node_iter slices it to SCALAR nodes, so the inner
-    # tables never become in-kernel array constants (Mosaic-safe)
-    inner_quad = GaussLegendre(max(quad.n // 2, 4))
 
     if nodes is None:
         p = machine_eps(dt)
         nodes = P3.ice_quadrature_nodes(vel, rho_a, state, loglambda, p,
                                         quad)
-    D_lo = nodes.bnds[0]
 
     D1, w1 = nodes.D, nodes.w                  # (n1, *cell)
     n1_of_D1 = nodes.n
+
+    if inner == "blocked":
+        n_i = P3.size_distribution(state, loglambda)
+        v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
+        v1 = nodes.v
+        r1 = jnp.sqrt(P3.ice_area(state, D1) / PI)
+        nw = n1_of_D1 * w1
+        n = quad.n
+        n_seg = len(nodes.bnds) - 1
+        total = jnp.zeros_like(loglambda + jnp.asarray(rho_a, dt))
+
+        # (a) cross-segment pair blocks from the shared tables:
+        # outer segment s vs all tabulated nodes of segments < s
+        for s in range(1, n_seg):
+            sl_o = slice(s * n, (s + 1) * n)
+            sl_j = slice(0, s * n)
+            K = PI * (r1[sl_o, None] + r1[None, sl_j]) ** 2
+            rel = jnp.abs(v1[sl_o, None] - v1[None, sl_j])
+            total = total + jnp.sum(
+                K * rel * nw[sl_o, None] * nw[None, sl_j], axis=(0, 1))
+
+        # (b) within-segment triangles: fresh quarter-order inner nodes
+        # (floor 4: at GL-8 two nodes were measured to lose the
+        # steep-PSD states) over the smooth, single-regime span [a_s, D1]
+        inner_quad = GaussLegendre(max(n // 4, 4))
+        for s in range(n_seg):
+            sl_o = slice(s * n, (s + 1) * n)
+            D1_s, v1_s, r1_s = D1[sl_o], v1[sl_o], r1[sl_o]
+            a_s = nodes.bnds[s] + jnp.zeros_like(D1_s)
+            acc = jnp.zeros_like(D1_s)
+            for D2, w2 in _node_iter(inner_quad, a_s, D1_s):
+                v2 = v_ice(D2)
+                r2 = jnp.sqrt(P3.ice_area(state, D2) / PI)
+                K = PI * (r1_s + r2) ** 2
+                acc = acc + K * jnp.abs(v1_s - v2) * n_i(D2) * w2
+            total = total + jnp.sum(acc * nw[sl_o], axis=0)
+        return total
+
+    # --- "triangle": cusp-split inner axis at half order (floor 4) ---
+    n_i = P3.size_distribution(state, loglambda)
+    v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
+    # host-side rule: _node_iter slices it to SCALAR nodes, so the inner
+    # tables never become in-kernel array constants (Mosaic-safe)
+    inner_quad = GaussLegendre(max(quad.n // 2, 4))
+    D_lo = nodes.bnds[0]
 
     def lower_triangle(r1, v1, D1_c):
         # inner nodes over [D_lo, D1], accumulated node-by-node (no
@@ -630,9 +681,7 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
     if in_pallas_trace():
         # VMEM-lean: statically-chunked outer axis (Mosaic has neither
         # dynamic_slice nor bool loop carries, so the chunk loop is a
-        # Python unroll); peak temporaries drop from
-        # (n_inner, n_outer, *cell) to (n_inner, chunk, *cell) while the
-        # trace stays ~n_chunks copies of the integrand graph.
+        # Python unroll)
         n_outer = D1.shape[0]
         chunk = max(quad.n // 2, 1)
         total = jnp.zeros_like(loglambda + jnp.asarray(rho_a, dt))

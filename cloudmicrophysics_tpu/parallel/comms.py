@@ -36,8 +36,17 @@ COLUMN_AXIS = "columns"
 
 def _distributed_is_initialized() -> bool:
     """True iff ``jax.distributed.initialize`` has already run."""
-    state = getattr(jax._src.distributed, "global_state", None)
-    return state is not None and state.client is not None
+    # Public API first (added in newer JAX); fall back to probing the
+    # private global state, and treat any relocation of that module in a
+    # future JAX as "not initialized" rather than an import-time failure.
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if callable(is_init):
+        return bool(is_init())
+    try:
+        state = getattr(jax._src.distributed, "global_state", None)
+        return state is not None and state.client is not None
+    except AttributeError:
+        return False
 
 
 def initialize_distributed(**kwargs) -> None:

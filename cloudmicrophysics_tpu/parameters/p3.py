@@ -144,6 +144,17 @@ class P3IceParams:
     # kernels as an operand rather than a captured constant.
     quad: QuadratureRule = None
 
+    def __post_init__(self):
+        # Direct construction (bypassing p3_ice_params) must still yield a
+        # usable container: fill the derived fields. Pytree unflattening
+        # skips __post_init__, so traced leaves never hit this path.
+        if self.numadj is None:
+            object.__setattr__(self, "numadj", IceNumberAdjustment())
+        if self.quad is None:
+            object.__setattr__(
+                self, "quad",
+                tabulate(build_quadrature(self.quadrature_order)))
+
 
 def p3_ice_params(quadrature_order: int = 16, slope_law: str = "powerlaw",
                   aspect_ratio: str = OBLATE,

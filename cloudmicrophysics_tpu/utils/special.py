@@ -469,6 +469,19 @@ def _gamma_inc_inv_impl(a, p, q, n_iters=_HALLEY_ITERS):
     t_wh = 1 - 1 / (9 * a_safe) + z / (3 * jnp.sqrt(a_safe))
     guess_ref = a - jnp.log(q_safe)
     guess_hi = jnp.where(t_wh > 0.1, a * t_wh**3, guess_ref)
+    # Extreme upper tail (q below ~1e-27): WH overshoots severalfold at
+    # small-to-moderate a, landing where the residual is flat (Q(a,x0)
+    # << q) so damped Halley crawls ~O(1) per step and 15 iterations
+    # cannot walk back. There the classic asymptotic inversion of
+    # Q ~ x^(a-1) e^-x / Gamma(a) — x* = L + (a-1) log L - lgamma(a),
+    # L = -log q — is within a few percent; use it whenever the tail
+    # regime is real (x* >> a; at large a with moderate L the quantile
+    # sits near the bulk instead and WH is the right start).
+    L_tail = -jnp.log(q_safe)
+    guess_tail = L_tail + (a - 1) * jnp.log(jnp.maximum(L_tail, 1.0)) \
+        - lgamma_a
+    deep_tail = (L_tail > 60.0) & (guess_tail > 3 * a)
+    guess_hi = jnp.where(deep_tail, jnp.maximum(guess_tail, tiny), guess_hi)
     x0 = jnp.where((p < 0.5) | (guess_lo < 0.5), guess_lo, guess_hi)
     x0 = jnp.maximum(x0, tiny)
 

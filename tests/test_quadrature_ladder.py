@@ -23,11 +23,34 @@ from cloudmicrophysics_tpu.parameters import (
 TPS = ThermodynamicsParameters()
 
 # curated column states (rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
-#                        q_ice, n_ice, q_rim, b_rim) — mixed-phase,
-# cold/warm, rimed/unrimed, following the reference's curated states
+#                        q_ice, n_ice, q_rim, b_rim) — the round-5 widened
+# sweep (VERDICT r4 #2): mixed-phase, deep-cold, warm/melting, rain-only,
+# ice-only, unrimed and heavily-rimed, near-threshold L/N ratios at both
+# ends of the shape-solver bracket — following the reference's "broader
+# set of physically plausible column states"
+# (test/bulk_tendencies_quadrature_tests.jl:11-45)
 STATES = [
+    # mixed-phase, moderately rimed (the original round-3 pair)
     (1.1, 263.0, 6e-3, 1e-3, 9e7, 5e-4, 9e5, 5e-4, 1e5, 1e-4, 2e-7),
     (0.7, 240.0, 2e-3, 1e-4, 2e7, 2e-5, 5e4, 2e-3, 8e5, 1.8e-3, 5e-6),
+    # rain-only, warm: no ice at all (exercises the has_ice placeholder
+    # path — any NaN leak through the mask shows up here)
+    (1.2, 275.0, 8e-3, 0.0, 0.0, 2e-3, 5e5, 0.0, 0.0, 0.0, 0.0),
+    # heavily-rimed (F_rim ~ 0.95, rho_rim ~ 900) with rain, cold
+    (0.9, 253.0, 5e-3, 5e-4, 5e7, 1e-3, 3e5, 1e-3, 2e5, 9.5e-4, 9.5e-4 / 900),
+    # ice-only, deep cold, lightly rimed (no liquid to collide with)
+    (0.5, 228.0, 1.5e-3, 0.0, 0.0, 0.0, 0.0, 1e-3, 5e5, 2e-4, 5e-7),
+    # unrimed pristine cirrus (F_rim = 0: degenerate D_gr/D_cr segments)
+    (0.4, 220.0, 5e-4, 0.0, 0.0, 0.0, 0.0, 1e-4, 2e5, 0.0, 0.0),
+    # near-threshold small mean size (L/N at the small end: loglambda
+    # near the top of the bracket)
+    (1.0, 258.0, 3e-3, 2e-4, 3e7, 1e-4, 2e5, 1e-6, 1e6, 1e-7, 2.5e-10),
+    # large aggregates (L/N at the big end: loglambda near the bottom)
+    (0.8, 265.0, 8e-3, 5e-4, 4e7, 5e-4, 1e5, 5e-3, 1e3, 5e-4, 1e-6),
+    # just below freezing, heavy rime: melt + wet growth active
+    (1.1, 272.5, 7e-3, 1.5e-3, 1.2e8, 8e-4, 4e5, 8e-4, 9e4, 6e-4, 1.2e-6),
+    # drizzle with light rime
+    (1.0, 268.0, 5e-3, 8e-4, 6e7, 5e-5, 8e4, 3e-4, 6e4, 3e-5, 8e-8),
 ]
 
 
@@ -74,8 +97,15 @@ LADDER = [pytest.param(50, 5e-3, marks=_s), pytest.param(25, 5e-2, marks=_s),
 @pytest.mark.parametrize("order,tol", LADDER)
 def test_ladder(order, tol, baseline):
     vec = _tendency_vector(order)
+    # NaN/Inf anywhere fails regardless of tolerance (reference
+    # bulk_tendencies_quadrature_tests.jl behavior)
+    assert np.isfinite(vec).all(), (order, np.flatnonzero(~np.isfinite(vec)))
     # relative error with a floor, per tendency component, as in the
     # reference's rel_err(a, b) = |a-b| / max(|b|, floor)
     floor = np.maximum(np.abs(baseline), 1e-14)
     rel = np.abs(vec - baseline) / floor
     assert rel.max() < tol, (order, rel.max(), np.argmax(rel))
+
+
+def test_baseline_finite(baseline):
+    assert np.isfinite(baseline).all(), np.flatnonzero(~np.isfinite(baseline))

@@ -133,6 +133,21 @@ class TestGammaInc:
             np.testing.assert_allclose(np.asarray(x4), np.asarray(x15),
                                        rtol=3e-7, err_msg=str(p))
 
+    def test_extreme_upper_tail_start_clamped(self):
+        # For q below ~1e-130 at small-to-moderate a the Wilson-Hilferty
+        # start overshoots into the region where dP/dx underflows to 0
+        # (x > ~745 at f64) and Halley would freeze on the bad start; the
+        # start falls back to the reference's a - log(q) guess there.
+        for a in (0.5, 2.0, 5.0):
+            for q in (1e-130, 1e-160, 1e-200, 1e-280):
+                aj = jnp.float64(a)
+                x = float(ut.gamma_inc_inv(aj, jnp.float64(1.0 - q),
+                                           jnp.float64(q)))
+                want = float(sps.gammainccinv(a, q))
+                assert np.isfinite(x), (a, q)
+                np.testing.assert_allclose(x, want, rtol=1e-8,
+                                           err_msg=str((a, q)))
+
     def test_jit_and_vmap(self, dtype):
         a = jnp.linspace(0.5, 8.0, 16, dtype=dtype)
         x = jnp.linspace(0.1, 12.0, 16, dtype=dtype)
