@@ -1,10 +1,13 @@
 """ML emulator hook for ARG aerosol activation.
 
-TPU-native equivalent of ``/root/reference/ext/EmulatorModelsExt.jl``: a
-flax MLP substitutes for the ARG parameterization behind the same
-``N_activated_per_mode`` API, with the reference's mode-permutation trick
-(the model predicts the first mode's activated fraction; other modes are
-predicted by swapping them into the first slot).
+TPU-native equivalent of ``/root/reference/ext/EmulatorModelsExt.jl``:
+three interchangeable regressor families substitute for the ARG
+parameterization behind the same ``N_activated_per_mode`` API — a flax
+MLP, an exact-GP/kernel-ridge regressor, and gradient-boosted oblivious
+trees (the reference swaps NN / GaussianProcess / EvoTree MLJ machines
+the same way) — with the reference's mode-permutation trick (the model
+predicts the first mode's activated fraction; other modes are predicted
+by swapping them into the first slot).
 
 Also provides the training-data generation pipeline mirrored from
 ``ext/Common.jl:30-60`` (sampling (mode parameters, w, T, p) and labeling
@@ -30,9 +33,10 @@ except ImportError:  # pragma: no cover
 from ..ops import aerosol_activation as AA
 from ..parameters.aerosol import AerosolDistribution, ModeKappa
 
-__all__ = ["ActivationMLP", "GPRegressor", "emulator_features",
+__all__ = ["ActivationMLP", "GPRegressor", "BoostedTreesRegressor",
+           "emulator_features",
            "generate_training_data", "generate_parcel_training_data",
-           "train_emulator", "train_emulator_gp",
+           "train_emulator", "train_emulator_gp", "train_emulator_trees",
            "N_activated_per_mode_emulated"]
 
 if HAVE_FLAX:
@@ -102,6 +106,111 @@ class GPRegressor:
         Xs = (X - params["x_mean"]) / params["x_std"]
         return self._k(Xs, params["X_train"]) @ params["alpha"] \
             + params["y_mean"]
+
+
+class BoostedTreesRegressor:
+    """Gradient-boosted OBLIVIOUS decision trees — third model family
+    behind the activation API (the reference swaps GP / NN / **EvoTree**
+    machines behind ``N_activated_per_mode``,
+    ``/root/reference/ext/EmulatorModelsExt.jl:32-67``).
+
+    Oblivious (CatBoost-style) trees use ONE (feature, threshold) split
+    per level, shared across the whole level, so a depth-``d`` tree is
+    just ``d`` comparisons and a ``2^d``-leaf lookup. That structure is
+    what makes tree inference TPU-native: for a whole forest the leaf
+    index is a batched bit-pack (pure vector compares + shifts, no
+    per-node pointer chasing) and the leaf lookup is one
+    ``take_along_axis`` over a ``(n_trees, 2^d)`` table — fully jit/vmap
+    compatible, no host callbacks. Fitting runs host-side in NumPy
+    (level-wise greedy over per-feature quantile candidate thresholds,
+    exact SSE scoring via ``bincount``), mirroring the reference's
+    host-side MLJ ``fit!``; only the fitted arrays ship to device.
+
+    Exposes the same ``apply(params, X)`` protocol as the other families.
+    """
+
+    def __init__(self, n_trees=200, depth=4, learning_rate=0.1,
+                 n_thresholds=15, l2=1.0):
+        self.n_trees = int(n_trees)
+        self.depth = int(depth)
+        self.learning_rate = float(learning_rate)
+        self.n_thresholds = int(n_thresholds)
+        self.l2 = float(l2)
+
+    def fit(self, X, y):
+        X = np.asarray(X, np.float64)
+        y = np.asarray(y, np.float64)
+        n, F = X.shape
+        # per-feature candidate thresholds at interior quantiles
+        qs = np.linspace(0, 1, self.n_thresholds + 2)[1:-1]
+        cand = np.quantile(X, qs, axis=0)            # (n_thr, F)
+        # precompute all candidate split bits once: (n, n_thr, F)
+        bits_all = X[:, None, :] > cand[None, :, :]
+
+        bias = float(np.mean(y))
+        resid = y - bias
+        feats = np.zeros((self.n_trees, self.depth), np.int32)
+        thrs = np.zeros((self.n_trees, self.depth), np.float32)
+        leaves = np.zeros((self.n_trees, 2 ** self.depth), np.float32)
+        for t in range(self.n_trees):
+            group = np.zeros(n, np.int64)
+            for lvl in range(self.depth):
+                n_groups = 2 ** (lvl + 1)
+                best = (np.inf, 0, 0)
+                for f in range(F):
+                    for k in range(self.n_thresholds):
+                        g = group * 2 + bits_all[:, k, f]
+                        s = np.bincount(g, weights=resid,
+                                        minlength=n_groups)
+                        c = np.bincount(g, minlength=n_groups)
+                        # SSE after fitting group means, up to const:
+                        # -(sum_g s_g^2 / (c_g + l2))
+                        score = -np.sum(s * s / (c + self.l2))
+                        if score < best[0]:
+                            best = (score, f, k)
+                _, f, k = best
+                feats[t, lvl] = f
+                thrs[t, lvl] = cand[k, f]
+                group = group * 2 + bits_all[:, k, f]
+            s = np.bincount(group, weights=resid,
+                            minlength=2 ** self.depth)
+            c = np.bincount(group, minlength=2 ** self.depth)
+            leaf = self.learning_rate * s / (c + self.l2)
+            leaves[t] = leaf
+            resid = resid - leaf[group]
+        return {"features": jnp.asarray(feats),
+                "thresholds": jnp.asarray(thrs),
+                "leaves": jnp.asarray(leaves),
+                "bias": jnp.asarray(bias, jnp.float32)}
+
+    def apply(self, params, X):
+        X = jnp.asarray(X, jnp.float32)
+        squeeze = X.ndim == 1
+        if squeeze:
+            X = X[None]
+        # (B, n_trees, depth) feature gather -> bit-pack -> leaf lookup
+        xf = X[:, params["features"]]                # (B, T, D)
+        bits = (xf > params["thresholds"][None]).astype(jnp.int32)
+        pows = 2 ** jnp.arange(self.depth - 1, -1, -1, dtype=jnp.int32)
+        idx = jnp.sum(bits * pows, axis=-1)          # (B, T)
+        vals = jnp.take_along_axis(
+            jnp.broadcast_to(params["leaves"][None], idx.shape
+                             + (params["leaves"].shape[-1],)),
+            idx[..., None], axis=-1)[..., 0]
+        out = params["bias"] + jnp.sum(vals, axis=-1)
+        return out[0] if squeeze else out
+
+
+def train_emulator_trees(X, y, n_trees=200, depth=4, learning_rate=0.1):
+    """Fit the boosted-trees family; same result shape as
+    :func:`train_emulator` / :func:`train_emulator_gp`."""
+    model = BoostedTreesRegressor(n_trees=n_trees, depth=depth,
+                                  learning_rate=learning_rate)
+    params = model.fit(X, y)
+    pred = model.apply(params, jnp.asarray(X, jnp.float32))
+    rmse = float(jnp.sqrt(jnp.mean((pred - jnp.asarray(y, jnp.float32))
+                                   ** 2)))
+    return model, params, rmse
 
 
 def train_emulator_gp(X, y, lengthscale=2.0, signal_var=1.0, noise=1e-2):

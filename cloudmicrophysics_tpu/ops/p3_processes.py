@@ -202,19 +202,23 @@ def compute_local_rime_density(velocity_params, rho_a, T, state):
     T_c = T - state.params.T_freeze
     v_ice = P3.ice_particle_terminal_velocity(velocity_params, rho_a, state)
     aiu, bi, ciu = CO.chen2022_vel_coeffs_rain(velocity_params.rain, rho_a)
+    dt0 = float_dtype(T)
+    T_c_safe = jnp.where(jnp.abs(T_c) > 0, T_c,
+                         -jnp.asarray(machine_eps(dt0), dt0))
+    # reciprocal hoisted to cell shape: Ri is evaluated on the full
+    # (liquid x ice x cell) pair space, where a divide per pair is one
+    # of the largest cheap-op terms of the collision kernel
+    inv_2Tc = 1e6 / (2 * T_c_safe)
 
     def rho_rim_local(D_i, D_l, v_i_at=None, v_rel=None):
         # v_i_at: optional precomputed ice velocity at D_i (IceQuadNodes);
         # v_rel: optional precomputed |v_ice(D_i) - v_liq(D_l)| (skips
         # both velocity evaluations)
-        dt = float_dtype(D_l)
         if v_rel is None:
             v_liq = CO.chen2022_velocity_sum(aiu, bi, ciu, D_l)
             v_rel = jnp.abs(
                 (v_ice(D_i) if v_i_at is None else v_i_at) - v_liq)
-        T_c_safe = jnp.where(jnp.abs(T_c) > 0, T_c,
-                             -jnp.asarray(machine_eps(dt), dt))
-        Ri = (D_l * 1e6 * v_rel) / (2 * T_c_safe)
+        Ri = D_l * v_rel * inv_2Tc
         return state.params.rho_rim_local(Ri)
 
     return rho_rim_local
@@ -342,9 +346,22 @@ def bulk_liquid_ice_collision_sources(
       cost of the split quadrature.
 
     ``tests/test_p3_processes.py`` pins all three against each other.
+
+    The liquid (inner) axis of the two default cross spaces runs at HALF
+    the ice order (floor 8): the liquid integrands are single-window and
+    smooth apart from the integrated-through rain kink, so their
+    quadrature error is far below the ice axis' regime-kink error, while
+    every liquid node multiplies the whole (liquid x ice x cell) pair
+    space — the single largest wall-time term of the fused P3 step on
+    TPU. ``"quadrature_split"``/``"closed_form"`` keep the full order
+    (they are the accuracy anchors).
     """
     if quad is None:
         quad = default_quadrature()
+    from ..utils.quadrature import GaussLegendre
+
+    liquid_quad = GaussLegendre(max(quad.n // 2, 8)) \
+        if quad.n > 8 else quad
     dt = float_dtype(rho_a, T)
     tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
     tau_wet = state.params.tau_wet
@@ -386,7 +403,7 @@ def bulk_liquid_ice_collision_sources(
     # fuses the broadcast + reduction without materializing the full
     # (n_l, n_ice_nodes, *cell) tensor — measured faster than an
     # accumulated node loop on v5e) ---
-    Dl_c, wl_c = _nodes(quad, c_lo, c_hi)      # (n_l, *cell)
+    Dl_c, wl_c = _nodes(liquid_quad, c_lo, c_hi)   # (n_l, *cell)
     Dl = Dl_c[:, None]                          # (n_l, 1, *cell)
     wl = wl_c[:, None]
     K = k0[None] + k1[None] * Dl + k2 * Dl**2
@@ -420,7 +437,7 @@ def bulk_liquid_ice_collision_sources(
             # (n_i, *cell)
             zero = jnp.zeros_like(k0)
             dN_r_col, dM_r_col, dB_r_col = zero, zero, zero
-            for Dl_n, w_n in _node_iter(quad, r_lo_s, r_hi_s):
+            for Dl_n, w_n in _node_iter(liquid_quad, r_lo_s, r_hi_s):
                 K_n = (k2 * Dl_n + k1) * Dl_n + k0
                 v_rel = jnp.abs(v_i_at_Di - v_liq(Dl_n))
                 t1 = K_n * v_rel * n_r(Dl_n) * w_n
@@ -430,7 +447,7 @@ def bulk_liquid_ice_collision_sources(
                 dB_r_col = dB_r_col + t2 / rho_rim_loc(Di, Dl_n,
                                                        v_rel=v_rel)
         else:
-            Dl_r, wl_r = _nodes(quad, r_lo_s, r_hi_s)     # (n_l, *cell)
+            Dl_r, wl_r = _nodes(liquid_quad, r_lo_s, r_hi_s)  # (n_l, *cell)
             v_l = v_liq(Dl_r)
             nr_v = n_r(Dl_r)
             ml_v = m_liq(Dl_r)
@@ -643,7 +660,11 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
 
         # (b) within-segment triangles: fresh quarter-order inner nodes
         # (floor 4: at GL-8 two nodes were measured to lose the
-        # steep-PSD states) over the smooth, single-regime span [a_s, D1]
+        # steep-PSD states) over the smooth, single-regime span [a_s, D1].
+        # (Interpolating v/r from the tabulated segment columns instead
+        # of fresh Chen2022 evaluations was tried and rejected: the tail
+        # segment's node spacing is too coarse for linear-in-D velocity
+        # on large-aggregate states — GL-16 error 5.2e-3 -> 2.1e-2.)
         inner_quad = GaussLegendre(max(n // 4, 4))
         for s in range(n_seg):
             sl_o = slice(s * n, (s + 1) * n)

@@ -182,6 +182,49 @@ class TestEmulatorGP:
         assert len(out) == 2
         assert 0 <= float(out[0]) <= 1e8 and 0 <= float(out[1]) <= 5e8
 
+    def test_trees_family_and_api(self):
+        # THIRD regressor family: gradient-boosted oblivious trees — the
+        # TPU-native analog of the reference's EvoTree machine
+        # (ext/EmulatorModelsExt.jl:32-67); same ~0.1-rmse harness gate
+        # as test/aerosol_activation_emulators.jl:10-74
+        from cloudmicrophysics_tpu.models import emulator as EM
+        from cloudmicrophysics_tpu.ops import aerosol_activation as AA
+        from cloudmicrophysics_tpu.parameters.aerosol import (
+            AerosolDistribution,
+            ModeKappa,
+        )
+
+        data = _emulator_dataset()
+        ap, aip = data["ap"], data["aip"]
+        X, y = data["train"]
+        model, params, rmse = EM.train_emulator_trees(
+            X, y, n_trees=300, depth=5, learning_rate=0.12)
+        assert rmse < 0.05  # train fit
+        X2, y2 = data["val"]
+        pred = np.asarray(model.apply(params, jnp.asarray(X2, jnp.float32)))
+        assert np.sqrt(np.mean((pred - y2) ** 2)) < 0.1
+
+        # emulated-vs-EXACT activation gate through the public API:
+        # per-mode activated numbers within 15% of N_tot of the exact ARG
+        # values across a few states (reference validation shape)
+        mode = lambda N, r: ModeKappa(r_dry=r, stdev=2.0, N=N,
+                                      vol_mix_ratio=(1.0,),
+                                      mass_mix_ratio=(1.0,),
+                                      molar_mass=(0.13214,), kappa=(0.53,))
+        for (N1, N2, r, w, T, p) in [
+            (1e8, 5e8, 5e-8, 1.0, 290.0, 9e4),
+            (5e7, 2e8, 8e-8, 0.5, 283.0, 8.5e4),
+            (3e8, 1e8, 4e-8, 2.0, 295.0, 9.5e4),
+        ]:
+            ad = AerosolDistribution(modes=(mode(N1, r), mode(N2, r)))
+            em = EM.N_activated_per_mode_emulated(
+                model, params, ap, ad, aip, TPS, T, p, w, 0.01, 0.0, 0.0)
+            ex = AA.N_activated_per_mode(ap, ad, aip, TPS, T, p, w,
+                                         0.01, 0.0, 0.0)
+            for e_i, x_i, N_i in zip(em, ex, (N1, N2)):
+                assert abs(float(e_i) - float(x_i)) < 0.15 * N_i, \
+                    (N1, N2, r, w, T, p, float(e_i), float(x_i))
+
     def test_parcel_data_pipeline(self):
         # parcel-ensemble labels (reference ext/Common.jl:30-60): S_max
         # from the parcel trajectory, act frac via the erf formula; the
