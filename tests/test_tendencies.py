@@ -258,7 +258,11 @@ class TestGraftEntry:
         for leaf in jax.tree_util.tree_leaves(out):
             assert np.all(np.isfinite(leaf))
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
+        # Slow tier: the driver itself runs dryrun_multichip on the
+        # 8-device virtual mesh every round (MULTICHIP_r0N.json), so the
+        # default tier does not pay its ~35 s again.
         # Run in a fresh interpreter, exactly as the driver does: compiling
         # the 8-way-partitioned P3 program on top of a long-lived pytest
         # process has hit XLA:CPU compiler stack exhaustion.
