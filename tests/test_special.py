@@ -60,25 +60,31 @@ class TestGammaInc:
         assert np.isinf(ut.gamma_inc_inv(a, jnp.asarray(1.0, dtype), 0.0))
 
     def test_x_derivative_analytic(self):
-        # reference test/gamma_inc_tests.jl:51-59 — f64 finite differences
-        for a in AVALS:
-            for x in XVALS:
-                f = lambda xx: ut.gamma_inc(a, xx)[0]
-                ad = jax.grad(f)(jnp.float64(x))
-                eps = np.sqrt(np.finfo(np.float64).eps)
-                fd = (f(x + eps) - f(x - eps)) / (2 * eps)
-                assert np.isfinite(ad)
-                np.testing.assert_allclose(ad, fd, rtol=1e-3, atol=1e-5)
+        # reference test/gamma_inc_tests.jl:51-59 — f64 finite
+        # differences over the whole (a, x) grid in ONE vmapped grad
+        # (scalar-at-a-time compiled 49 tiny programs)
+        aa, xx = [jnp.asarray(np.ravel(v), jnp.float64) for v in
+                  np.meshgrid(AVALS, XVALS)]
+        f = lambda a, x: ut.gamma_inc(a, x)[0]
+        ad = jax.vmap(jax.grad(f, argnums=1))(aa, xx)
+        eps = np.sqrt(np.finfo(np.float64).eps)
+        fd = (jax.vmap(f)(aa, xx + eps) - jax.vmap(f)(aa, xx - eps)) \
+            / (2 * eps)
+        assert np.isfinite(np.asarray(ad)).all()
+        np.testing.assert_allclose(np.asarray(ad), np.asarray(fd),
+                                   rtol=1e-3, atol=1e-5)
 
     def test_p_derivative_analytic(self):
-        for a in AVALS:
-            for p in PVALS:
-                f = lambda pp: ut.gamma_inc_inv(a, pp, 1.0 - pp)
-                ad = jax.grad(f)(jnp.float64(p))
-                eps = np.sqrt(np.finfo(np.float64).eps)
-                fd = (f(p + eps) - f(p - eps)) / (2 * eps)
-                assert np.isfinite(ad)
-                np.testing.assert_allclose(ad, fd, rtol=1e-3, atol=1e-4)
+        aa, pp = [jnp.asarray(np.ravel(v), jnp.float64) for v in
+                  np.meshgrid(AVALS, PVALS)]
+        f = lambda a, p: ut.gamma_inc_inv(a, p, 1.0 - p)
+        ad = jax.vmap(jax.grad(f, argnums=1))(aa, pp)
+        eps = np.sqrt(np.finfo(np.float64).eps)
+        fd = (jax.vmap(f)(aa, pp + eps) - jax.vmap(f)(aa, pp - eps)) \
+            / (2 * eps)
+        assert np.isfinite(np.asarray(ad)).all()
+        np.testing.assert_allclose(np.asarray(ad), np.asarray(fd),
+                                   rtol=1e-3, atol=1e-4)
 
     def test_a_derivative_poisoned(self):
         # The a-derivative is unsupported: must NaN-poison, not silently
