@@ -425,3 +425,34 @@ class TestColumn2M:
         # liquid decreased (acnv+accr), numbers finite
         assert float(out.q_lcl[0, 5]) < 1.5e-3
         assert np.isfinite(np.asarray(out.T)).all()
+
+    def test_chunked_cells_matches_flat_on_column_step(self):
+        # perf.chunked_cells splits the leading (ncol) axis; the column
+        # step is column-local so the chunked result is bit-identical
+        import numpy as np
+
+        from cloudmicrophysics_tpu.models.column import (
+            ColumnState2M,
+            step_column_2m,
+        )
+        from cloudmicrophysics_tpu.parameters import (
+            ThermodynamicsParameters,
+            microphysics_2m_params,
+        )
+        from cloudmicrophysics_tpu.perf import chunked_cells
+
+        tps = ThermodynamicsParameters()
+        mp = microphysics_2m_params()
+        ncol, nlev = 8, 16
+        rng = np.random.default_rng(3)
+        f = lambda s: jnp.asarray(s * (1 + 0.1 * rng.random((ncol, nlev))),
+                                  jnp.float64)
+        st = ColumnState2M(rho=f(1.1), T=f(288.0), q_tot=f(7e-3),
+                           q_lcl=f(1.5e-3), n_lcl=f(9e7),
+                           q_rai=f(5e-4), n_rai=f(9e5))
+        step = lambda s: step_column_2m(s, mp, tps, 1.0, 100.0)
+        flat = jax.jit(step)(st)
+        chk = jax.jit(chunked_cells(step, 4))(st)
+        for k, a, b in zip(flat._fields, flat, chk):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=k)
