@@ -212,11 +212,11 @@ def main():
                         q_lcl=fc(1e-3), n_lcl=fc(9e7), q_rai=fc(5e-4),
                         n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
                         q_rim=fc(1e-4), b_rim=fc(2e-7))
-    # 8-way column chunking (perf.chunked_cells): +21% at 16384x128 on
-    # v5e — same working-set effect as the flat-batch chunking above
-    _col_step = chunked_cells(
-        lambda s, g: step_column_p3(s, mp3c, tps, 1.0, 100.0, g), 8)
-    jit3c = jax.jit(lambda x: _col_step(x[0], x[1]))
+    # 8-way column chunking (col_chunks -> perf.chunked_cells): +21% at
+    # 16384x128 on v5e — same working-set effect as the flat-batch
+    # chunking above
+    jit3c = jax.jit(lambda x: step_column_p3(
+        x[0], mp3c, tps, 1.0, 100.0, x[1], col_chunks=8))
     _, loglam0 = jit3c((st3, None))
     jax.block_until_ready(loglam0)
     n3c = ncol3 * nlev3

@@ -456,3 +456,42 @@ class TestColumn2M:
         for k, a, b in zip(flat._fields, flat, chk):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=k)
+
+    @pytest.mark.slow
+    def test_col_chunks_matches_flat_p3(self):
+        # the production col_chunks kwarg on the P3 column step (GL-4
+        # keeps the compile small; covers the loglambda=None cold start
+        # and the warm-started second step). Slow tier: two fresh P3
+        # column compiles (~25 s) for a wrapper whose bit-identity is
+        # already pinned on the 2M step in the default tier.
+        import numpy as np
+
+        from cloudmicrophysics_tpu.models.column import (
+            ColumnStateP3,
+            step_column_p3,
+        )
+        from cloudmicrophysics_tpu.parameters import (
+            ThermodynamicsParameters,
+            microphysics_2m_params,
+        )
+
+        tps = ThermodynamicsParameters()
+        mp = microphysics_2m_params(with_ice=True, quadrature_order=4)
+        fc = lambda v: jnp.full((8, 8), v, jnp.float32)
+        st = ColumnStateP3(rho=fc(1.1), T=fc(263.0), q_tot=fc(6e-3),
+                           q_lcl=fc(1e-3), n_lcl=fc(9e7), q_rai=fc(5e-4),
+                           n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
+                           q_rim=fc(1e-4), b_rim=fc(2e-7))
+        flat, llf = jax.jit(
+            lambda x: step_column_p3(x[0], mp, tps, 1.0, 100.0, x[1]))(
+                (st, None))
+        j = jax.jit(lambda x: step_column_p3(x[0], mp, tps, 1.0, 100.0,
+                                             x[1], col_chunks=4))
+        chk, llc = j((st, None))
+        np.testing.assert_allclose(np.asarray(llc), np.asarray(llf),
+                                   rtol=2e-6)
+        for k, a, b in zip(flat._fields, flat, chk):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-30, err_msg=k)
+        chk2, _ = j((chk, llc))    # warm-started second step
+        assert np.isfinite(np.asarray(chk2.q_ice)).all()
