@@ -38,9 +38,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def measure_rung(n_devices, per_dev_cols, nlev, n_iter, reps=3):
-    """Throughput of the fused 1M column step on the first ``n_devices``
-    devices with ``per_dev_cols`` columns each (weak scaling)."""
+def measure_rung(n_devices, per_dev_cols, nlev, n_iter, reps=3,
+                 kernel="1m"):
+    """Throughput of a fused column step on the first ``n_devices``
+    devices with ``per_dev_cols`` columns each (weak scaling).
+
+    ``kernel``: ``"1m"`` (flagship fused 1M step) or ``"p3"`` (the full
+    2M+P3 column step at the ladder-verified GL-8 setting, shape solve
+    included, warm-started self-map). Both are column-local, so the
+    scaling contract is identical: zero cross-device communication.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,37 +58,71 @@ def measure_rung(n_devices, per_dev_cols, nlev, n_iter, reps=3):
     devices = jax.devices()[:n_devices]
     mesh = Mesh(np.array(devices), ("columns",))
     sh = NamedSharding(mesh, P("columns"))
+    put = lambda tree: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), tree)
+    shard_like = lambda tree: jax.tree_util.tree_map(lambda _: sh, tree)
 
     ncol = per_dev_cols * n_devices
-    step, state = _build(ncol=ncol, nlev=nlev, dtype=jnp.float32)
-    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), state)
-    step_j = jax.jit(step, out_shardings=jax.tree_util.tree_map(
-        lambda _: sh, state))
+    if kernel == "p3":
+        import cloudmicrophysics_tpu as cm
+        from cloudmicrophysics_tpu.models.column import (
+            ColumnStateP3,
+            step_column_p3,
+        )
+        from cloudmicrophysics_tpu.parameters import (
+            ThermodynamicsParameters,
+        )
+
+        tps = ThermodynamicsParameters()
+        mp3 = cm.parameters.microphysics_2m_params(with_ice=True,
+                                                   quadrature_order=8)
+        fc = lambda v: jnp.full((ncol, nlev), v, jnp.float32)
+        st = ColumnStateP3(rho=fc(1.1), T=fc(263.0), q_tot=fc(6e-3),
+                           q_lcl=fc(1e-3), n_lcl=fc(9e7), q_rai=fc(5e-4),
+                           n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
+                           q_rim=fc(1e-4), b_rim=fc(2e-7))
+        chunks = 8 if per_dev_cols % 8 == 0 else 1
+        base = jax.jit(lambda x: step_column_p3(
+            x[0], mp3, tps, 1.0, 100.0, x[1], col_chunks=chunks))
+        st0, ll0 = base((put(st), None))
+        state = (st0, ll0)
+        step_j = jax.jit(lambda x: step_column_p3(
+            x[0], mp3, tps, 1.0, 100.0, x[1], col_chunks=chunks),
+            out_shardings=shard_like(state))
+        readback = lambda x: float(jnp.sum(x[0].q_rai))
+        spec_of = lambda x: x[0].q_rai.sharding.spec
+    else:
+        step, state = _build(ncol=ncol, nlev=nlev, dtype=jnp.float32)
+        state = put(state)
+        step_j = jax.jit(step, out_shardings=shard_like(state))
+        readback = lambda x: float(jnp.sum(x.q_rai))
+        spec_of = lambda x: x.q_rai.sharding.spec
 
     # warm up (compile) + fence via host readback (block_until_ready is
     # not a trustworthy fence on the remote-TPU runtime)
     s = step_j(state)
-    _ = float(jnp.sum(s.q_rai))
-    assert s.q_rai.sharding.spec == P("columns"), s.q_rai.sharding
+    _ = readback(s)
+    assert spec_of(s) == P("columns"), spec_of(s)
 
     dts = []
     rescale = jax.jit(
         lambda st, c: jax.tree_util.tree_map(lambda x: x * c, st),
-        out_shardings=jax.tree_util.tree_map(lambda _: sh, state))
+        out_shardings=shard_like(state))
     for rep in range(reps):
         # rep-distinct start so every dispatch sees bit-fresh buffers
         # (the self-map keeps them fresh within the rollout)
         s = rescale(state, jnp.float32(1.0 + 1e-5 * rep))
-        _ = float(jnp.sum(s.q_rai))
+        _ = readback(s)
         t0 = time.perf_counter()
         for _i in range(n_iter):
             s = step_j(s)
-        checksum = float(jnp.sum(s.q_rai))  # readback = timing fence
+        checksum = readback(s)  # readback = timing fence
         t1 = time.perf_counter()
         assert np.isfinite(checksum)
         dts.append(t1 - t0)
     best = min(dts)
     return {
+        "kernel": kernel,
         "devices": n_devices,
         "ncol": ncol,
         "nlev": nlev,
@@ -106,6 +147,9 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes + explicit not-a-perf-number label "
                     "(virtual CPU mesh)")
+    ap.add_argument("--kernel", choices=["1m", "p3"], default="1m",
+                    help="which fused column step to ladder (p3 = full "
+                    "2M+P3 at GL-8, shape solve included)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -153,7 +197,8 @@ def main():
             print(json.dumps({"devices": d,
                               "skipped": f"only {n_avail} available"}))
             continue
-        row = measure_rung(d, args.per_dev_cols, args.nlev, args.iters)
+        row = measure_rung(d, args.per_dev_cols, args.nlev, args.iters,
+                           kernel=args.kernel)
         if base is None:
             base = row["grid_points_per_s"] / row["devices"]
         row["per_device"] = float(
@@ -164,7 +209,7 @@ def main():
         print(json.dumps(row), flush=True)
 
     artifact = {
-        "metric": "1M fused column step weak-scaling ladder",
+        "metric": f"{args.kernel} fused column step weak-scaling ladder",
         "unit": "grid-points/s",
         "device_kind": platform,
         "n_devices_available": n_avail,
