@@ -333,3 +333,49 @@ class TestBMT2MP3:
         out = run(T, q_ice, n_ice)
         for leaf in out:
             assert np.all(np.isfinite(leaf))
+
+    def test_random_state_fuzz_finite(self):
+        # 512 random physically-plausible-to-adversarial states through
+        # the FULL fused tendency in one vectorized call: any NaN leak
+        # through the eps-gates/masks shows up here (reference-style
+        # finiteness sweep, bulk_tendencies_tests.jl). Log-uniform over
+        # wide ranges incl. zeros, mismatched moments, and F_rim -> 1.
+        rng = np.random.default_rng(7)
+        n = 512
+        dtype = np.float32
+        lo = lambda a, b: np.asarray(
+            10 ** rng.uniform(np.log10(a), np.log10(b), n), dtype)
+        zero_mask = lambda p: (rng.random(n) > p).astype(dtype)
+        rho = lo(0.3, 1.3)
+        T = np.asarray(rng.uniform(210.0, 305.0, n), dtype)
+        q_tot = lo(1e-5, 2e-2)
+        q_lcl = lo(1e-9, 5e-3) * zero_mask(0.2)
+        n_lcl = lo(1e3, 5e8) * zero_mask(0.2)
+        q_rai = lo(1e-9, 5e-3) * zero_mask(0.2)
+        n_rai = lo(1e0, 1e7) * zero_mask(0.2)
+        q_ice = lo(1e-10, 5e-3) * zero_mask(0.2)
+        n_ice = lo(1e-1, 1e7) * zero_mask(0.2)
+        f_rim = np.asarray(rng.uniform(0.0, 0.999, n), dtype)
+        q_rim = (f_rim * q_ice).astype(dtype)
+        rho_rim = np.asarray(rng.uniform(60.0, 900.0, n), dtype)
+        b_rim = (q_rim / rho_rim).astype(dtype)
+
+        @jax.jit
+        def run(rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai, q_ice, n_ice,
+                q_rim, b_rim):
+            st = P3.state_from_prognostic(
+                self.MP.ice.scheme, q_ice * rho, n_ice * rho,
+                q_rim * rho, b_rim * rho)
+            loglam = P3.get_distribution_loglambda(st)
+            return bulk_tendencies_2m(
+                self.MP, TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
+                q_ice=q_ice, n_ice=n_ice, q_rim=q_rim, b_rim=b_rim,
+                log_lambda=loglam)
+
+        out = run(*(jnp.asarray(v) for v in (
+            rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai, q_ice, n_ice,
+            q_rim, b_rim)))
+        for name, leaf in zip(out._fields, out):
+            bad = ~np.isfinite(np.asarray(leaf))
+            assert not bad.any(), (name, int(bad.sum()),
+                                   np.flatnonzero(bad)[:5])
