@@ -163,12 +163,13 @@ def _bench_p3_gl16():
                 clamp(ni + d * r.dn_ice_dt), clamp(qrim + d * r.dq_rim_dt),
                 clamp(brim + d * r.db_rim_dt), ll)
 
-    # 4-way cell chunking (perf.chunked_cells): bounds the shared-table
-    # working set of the giant fused quadrature program — measured +15%
-    # at this batch on v5e
+    # Cell chunking (perf.chunked_cells) at ~16k cells per chunk: the
+    # shared node tables ((64, chunk) f32 ~ 4 MB each) stay on-chip
+    # between consumers. Measured chunk sweep at this batch on v5e:
+    # flat 1.90e7 -> 512k-chunks 2.18e7 -> 16k-chunks 3.13e7 pts/s.
     from cloudmicrophysics_tpu.perf import chunked_cells
 
-    p3_selfmap = jax.jit(chunked_cells(p3_body, 4))
+    p3_selfmap = jax.jit(chunked_cells(p3_body, max(n3 // 16384, 1)))
 
     a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
           f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400), ll3)

@@ -187,10 +187,9 @@ def main():
                     clamp(qrim + d * r.dq_rim_dt),
                     clamp(brim + d * r.db_rim_dt), ll)
 
-        # 4-way cell chunking bounds the shared-table working set of
-        # the fused quadrature program (perf.chunked_cells; +15% at 2M
-        # cells on v5e)
-        p3_selfmap = jax.jit(chunked_cells(p3_body, 4))
+        # ~16k cells per chunk keeps the shared node tables on-chip
+        # between consumers (measured optimum on v5e; see bench.py)
+        p3_selfmap = jax.jit(chunked_cells(p3_body, max(n3 // 16384, 1)))
         a3 = (f3(1.1), f3(263.0), f3(4e-3), f3(5e-4), f3(9e7), f3(2e-4),
               f3(9e5), f3(1e-4), f3(9e4), f3(3e-5), f3(3e-5 / 400), ll3)
         results.append((f"2m_p3_gl{order}",
@@ -212,11 +211,14 @@ def main():
                         q_lcl=fc(1e-3), n_lcl=fc(9e7), q_rai=fc(5e-4),
                         n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
                         q_rim=fc(1e-4), b_rim=fc(2e-7))
-    # 8-way column chunking (col_chunks -> perf.chunked_cells): +21% at
-    # 16384x128 on v5e — same working-set effect as the flat-batch
-    # chunking above
+    # column chunking (col_chunks -> perf.chunked_cells) at ~16k grid
+    # points per chunk — same on-chip working-set effect as the
+    # flat-batch chunking above
+    cc = max(ncol3 * nlev3 // 16384, 1)
+    while ncol3 % cc:
+        cc -= 1
     jit3c = jax.jit(lambda x: step_column_p3(
-        x[0], mp3c, tps, 1.0, 100.0, x[1], col_chunks=8))
+        x[0], mp3c, tps, 1.0, 100.0, x[1], col_chunks=cc))
     _, loglam0 = jit3c((st3, None))
     jax.block_until_ready(loglam0)
     n3c = ncol3 * nlev3

@@ -47,7 +47,7 @@ flat = jax.jit(lambda x: body(*x))
 _, ll0 = flat((st, None))
 jax.block_until_ready(ll0)
 x0 = (st, ll0)
-timeit(flat, x0, "p3_column_gl8_flat")
-for nc in (4, 8):
+
+for nc in (32, 128):
     chk = jax.jit(chunked_cells(body, nc))
     timeit(lambda x, c=chk: c(*x), x0, f"p3_column_gl8_chunk{nc}")

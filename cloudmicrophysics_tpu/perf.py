@@ -33,10 +33,13 @@ def chunked_cells(fn: Callable, n_chunks: int) -> Callable:
     For the very large fused quadrature kernels (2M+P3 at millions of
     cells) one flat fusion streams every shared node table across the
     whole batch at once; mapping over cell chunks bounds the working
-    set so table reads stay cache-resident between consumers — measured
-    +15% on the GL-16 fused tendency at 2M cells on v5e (see
-    docs/Performance.md). Identical math and output; the leading axis
-    of every input/output array leaf must be divisible by ``n_chunks``.
+    set so table reads stay on-chip between consumers. Aim for ~16k
+    cells per chunk on v5e — the (64, 16384) f32 node tables are ~4 MB
+    each and the measured chunk sweep on the GL-16 fused tendency at 2M
+    cells peaks there (flat 1.90e7 -> 512k-cell chunks 2.18e7 ->
+    16k-cell chunks 3.13e7 pts/s; see docs/Performance.md). Identical
+    math and output; the leading axis of every input/output array leaf
+    must be divisible by ``n_chunks``.
     """
     from jax import lax
 
