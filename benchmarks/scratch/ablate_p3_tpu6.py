@@ -1,4 +1,10 @@
-"""Chunk-count sweep for the flat 2M-cell GL-16 fused tendency."""
+"""Chunk-count sweep for the flat 2M-cell GL-16 fused tendency.
+
+Usage: python ablate_p3_tpu6.py [n_chunks ...]   (default: 4 128)
+Round-5 measured (pts/s): flat 1.90e7, chunks 4 -> 2.18e7, 8 -> 2.29e7,
+16 -> 2.50e7, 32 -> 2.79e7, 64 -> 2.82e7, 128 -> 3.13e7 (peak: ~16k
+cells/chunk), 256 -> 3.01e7; 128 with CMT_NO_AUX_BARRIER=1 -> 2.41e7
+(the barrier wins even harder once chunks fit on-chip)."""
 import sys
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
@@ -51,5 +57,5 @@ def timeit(step, tag, n_iter=10):
     print(json.dumps({"variant": tag,
                       "pts_per_s": float(f"{n3*n_iter/best:.4g}")}), flush=True)
 
-for nc in (128, 256):
+for nc in [int(a) for a in sys.argv[1:]] or (4, 128):
     timeit(jax.jit(chunked_cells(body, nc)), f"gl16_chunk{nc}")
