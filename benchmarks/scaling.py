@@ -81,7 +81,11 @@ def measure_rung(n_devices, per_dev_cols, nlev, n_iter, reps=3,
                            q_lcl=fc(1e-3), n_lcl=fc(9e7), q_rai=fc(5e-4),
                            n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
                            q_rim=fc(1e-4), b_rim=fc(2e-7))
-        chunks = 8 if per_dev_cols % 8 == 0 else 1
+        # ~16k grid points per chunk (measured v5e optimum; see
+        # perf.chunked_cells), constrained to divide ncol
+        chunks = max(ncol * nlev // 16384, 1)
+        while ncol % chunks:
+            chunks -= 1
         base = jax.jit(lambda x: step_column_p3(
             x[0], mp3, tps, 1.0, 100.0, x[1], col_chunks=chunks))
         st0, ll0 = base((put(st), None))
