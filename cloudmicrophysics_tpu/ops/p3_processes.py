@@ -618,9 +618,9 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
       spanned up to four segments of C0-kinked integrand in one rule
       (its GL-8 error breached 5e-2 on large-aggregate states). Fresh
       Chen2022 evaluations per cell drop from ``(n/2) * 4n`` to
-      ``(n/4) * 4n`` while accuracy IMPROVES: max err vs a GL-64
+      ``~(n/4) * 4n`` while accuracy IMPROVES: max err vs a GL-64
       cusp-split reference over 5 curated states 5.5e-3 at GL-16
-      (triangle: 1.07e-2), 4.9e-2 at GL-8 (5.9e-2)
+      (triangle: 1.07e-2), 4.6e-2 at GL-8 (5.9e-2)
       (tests/test_p3_processes.py cross-pins the modes).
     * ``"triangle"``: the round-4 form — inner nodes over the full
       ``[D_lo, D1]`` at half order, doubled by symmetry. Kept as a
@@ -694,8 +694,13 @@ def ice_self_collection(state: P3.P3State, loglambda, vel, rho_a, quad=None,
         # of fresh Chen2022 evaluations was tried and rejected: the tail
         # segment's node spacing is too coarse for linear-in-D velocity
         # on large-aggregate states — GL-16 error 5.2e-3 -> 2.1e-2.)
-        inner_quad = GaussLegendre(max(n // 4, 4))
         for s in range(n_seg):
+            # the tail (partially-rimed) segment carries the aggregate
+            # mass and its span is the longest — give it 1.5x the inner
+            # order (measured: recovers most of the uniform-order-6
+            # accuracy gain at ~1/4 of its cost)
+            n_in = max(n // 4, 6) if s == n_seg - 1 else max(n // 4, 4)
+            inner_quad = GaussLegendre(n_in)
             sl_o = slice(s * n, (s + 1) * n)
             D1_s, v1_s, r1_s = D1[sl_o], v1[sl_o], r1[sl_o]
             a_s = nodes.bnds[s] + jnp.zeros_like(D1_s)

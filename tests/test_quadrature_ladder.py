@@ -83,13 +83,13 @@ def baseline():
 # plus the TPU production orders, which build_quadrature maps to
 # Gauss-Legendre. Both GL rungs sit inside the reference's own n=25
 # acceptance (5e-2). Round-5 measured maxima over the 10-state sweep:
-# GL-16 1.75e-2, GL-8 1.80e-2 — both dominated by dn_ice on the
-# large-aggregate state (the ice self-collection outer axis' Chen2022
-# small/large cutoff kink is not a segment boundary, so per-order
-# convergence there is algebraic, not spectral). NOTE for future
-# rounds: the GL-16 gate has only ~13% margin — if a new curated state
-# pushes it over, improve the big-aggregate self-collection resolution
-# before loosening the gate.
+# GL-16 1.30e-2, GL-8 1.90e-2 — dn_ice-dominated (the ice
+# self-collection outer axis' Chen2022 small/large cutoff kink is not
+# a segment boundary, so per-order convergence there is algebraic, not
+# spectral; the tail segment's within-triangle inner runs order 6 for
+# exactly this reason — floor 4 measured 1.75e-2 at GL-16 on the
+# large-aggregate state, uniform order 6 reached 9.3e-3 but cost 14%
+# throughput, tail-only-6 lands at 1.30e-2 for ~3%).
 # The CG rungs compile three extra full-tendency programs and gate
 # nothing the production orders use, so they ride in the slow tier.
 _s = pytest.mark.slow
