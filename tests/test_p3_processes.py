@@ -340,6 +340,8 @@ class TestBMT2MP3:
         # through the eps-gates/masks shows up here (reference-style
         # finiteness sweep, bulk_tendencies_tests.jl). Log-uniform over
         # wide ranges incl. zeros, mismatched moments, and F_rim -> 1.
+        # GL-8: the mask/eps-gate structure under test is
+        # order-independent and the reduced order halves the compile.
         rng = np.random.default_rng(7)
         n = 512
         dtype = np.float32
@@ -360,15 +362,17 @@ class TestBMT2MP3:
         rho_rim = np.asarray(rng.uniform(60.0, 900.0, n), dtype)
         b_rim = (q_rim / rho_rim).astype(dtype)
 
+        mp8 = microphysics_2m_params(with_ice=True, quadrature_order=8)
+
         @jax.jit
         def run(rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai, q_ice, n_ice,
                 q_rim, b_rim):
             st = P3.state_from_prognostic(
-                self.MP.ice.scheme, q_ice * rho, n_ice * rho,
+                mp8.ice.scheme, q_ice * rho, n_ice * rho,
                 q_rim * rho, b_rim * rho)
             loglam = P3.get_distribution_loglambda(st)
             return bulk_tendencies_2m(
-                self.MP, TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
+                mp8, TPS, rho, T, q_tot, q_lcl, n_lcl, q_rai, n_rai,
                 q_ice=q_ice, n_ice=n_ice, q_rim=q_rim, b_rim=b_rim,
                 log_lambda=loglam)
 
