@@ -82,17 +82,24 @@ def measure_rung(n_devices, per_dev_cols, nlev, n_iter, reps=3,
                            n_rai=fc(9e5), q_ice=fc(5e-4), n_ice=fc(1e5),
                            q_rim=fc(1e-4), b_rim=fc(2e-7))
         # ~16k grid points per chunk (measured v5e optimum; see
-        # perf.chunked_cells), constrained to divide ncol
-        chunks = max(ncol * nlev // 16384, 1)
-        while ncol % chunks:
+        # perf.chunked_cells). Chunking must happen PER SHARD: chunking
+        # the global column axis under one jit would make the
+        # sequential lax.map walk device slabs one at a time (all other
+        # devices idle per step). shard_map splits columns across the
+        # mesh first; each shard then chunks its local slab.
+        local_cols = per_dev_cols
+        chunks = max(local_cols * nlev // 16384, 1)
+        while local_cols % chunks:
             chunks -= 1
         base = jax.jit(lambda x: step_column_p3(
-            x[0], mp3, tps, 1.0, 100.0, x[1], col_chunks=chunks))
+            x[0], mp3, tps, 1.0, 100.0, x[1]))
         st0, ll0 = base((put(st), None))
         state = (st0, ll0)
-        step_j = jax.jit(lambda x: step_column_p3(
-            x[0], mp3, tps, 1.0, 100.0, x[1], col_chunks=chunks),
-            out_shardings=shard_like(state))
+        step_j = jax.jit(jax.shard_map(
+            lambda x: step_column_p3(x[0], mp3, tps, 1.0, 100.0, x[1],
+                                     col_chunks=chunks),
+            mesh=mesh, in_specs=P("columns"), out_specs=P("columns"),
+            check_vma=False))
         readback = lambda x: float(jnp.sum(x[0].q_rai))
         spec_of = lambda x: x[0].q_rai.sharding.spec
     else:

@@ -302,7 +302,10 @@ def step_column_p3(state: "ColumnStateP3", mp, tps: ThermodynamicsParameters,
     keeps the shared node tables on-chip between consumers — measured
     2.21e7 -> 3.07e7 pts/s at 16384x128 GL-8 on v5e with ~16k grid
     points per chunk; recommended for multi-thousand-column batches).
-    ``ncol`` must be divisible by it.
+    ``ncol`` must be divisible by it. On a multi-device mesh apply the
+    chunking per shard — call this inside ``jax.shard_map`` over the
+    columns axis (see perf.chunked_cells docstring) — so the sequential
+    chunk loop never spans device boundaries.
     """
     import jax
 

@@ -40,6 +40,12 @@ def chunked_cells(fn: Callable, n_chunks: int) -> Callable:
     16k-cell chunks 3.13e7 pts/s; see docs/Performance.md). Identical
     math and output; the leading axis of every input/output array leaf
     must be divisible by ``n_chunks``.
+
+    MULTI-DEVICE NOTE: apply this PER SHARD (inside ``jax.shard_map``
+    over the columns mesh axis), not around a globally-sharded array —
+    the sequential ``lax.map`` would otherwise walk one device slab at
+    a time while the rest of the mesh idles (see benchmarks/scaling.py
+    for the pattern). Single-device jits can wrap directly.
     """
     from jax import lax
 
